@@ -1,0 +1,345 @@
+"""Attention modules of the BEV trunk and decoders (flax.linen).
+
+Parity targets (reference file:line):
+- TemporalSelfAttention: bevformer/modules/temporal_self_attention.py:24-289
+- SpatialCrossAttention + MSDeformableAttention3D:
+  bevformer/modules/spatial_cross_attention.py:28-403
+- CustomMSDeformableAttention (decoder cross-attn):
+  bevformer/modules/decoder.py:129-358
+
+TPU-first deviations (documented in DEVIATIONS.md):
+- SCA's data-dependent per-camera query rebatching (reference 136-165) is
+  replaced by dense masked attention: every query attends in every camera,
+  outputs are masked by pillar visibility and normalized by hit count —
+  identical math, static shapes.
+- TSA's queue handling stacks (bs, 2, ...) explicitly instead of the
+  reference's interleaved ``bs*2`` fold, which silently mixes samples when
+  bs > 1 (temporal_self_attention.py:203 takes ``value[:bs]``).
+
+All modules are batch-first and keep softmax/attention math in fp32.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apollo_vision_net_tpu.ops.msda import ms_deform_attn
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def grid_offset_bias(num_heads: int, num_groups: int, num_points: int) -> np.ndarray:
+    """mmcv's deformable-attention sampling_offsets bias init: 8 unit
+    directions scaled by point index (temporal_self_attention.py:113-128)."""
+    thetas = np.arange(num_heads, dtype=np.float64) * (2.0 * np.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (H, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_groups, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+def _xavier_uniform():
+    return nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+class TemporalSelfAttention(nn.Module):
+    """Deformable self-attention over the 2-slot BEV queue [prev, cur]."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    num_bev_queue: int = 2
+    dropout: float = 0.1
+    attn_logits_clamp: Optional[float] = None
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,          # (B, Q, C)
+        value: jnp.ndarray,          # (B, 2, Q, C) = [prev, cur] per sample
+        *,
+        query_pos: Optional[jnp.ndarray],   # (B, Q, C)
+        reference_points: jnp.ndarray,      # (B, 2, Q, L, 2) per-queue refs
+        spatial_shapes: Shapes,             # ((bev_h, bev_w),)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        H, L, P, NQ = self.num_heads, self.num_levels, self.num_points, self.num_bev_queue
+        assert NQ == 2
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        # offsets/weights are predicted from [prev_bev_value, query] concat
+        # (reference :203)
+        q_in = jnp.concatenate([value[:, 0], query], axis=-1)  # (B, Q, 2C)
+
+        value_flat = value.reshape(B * NQ, Q, C)
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value_flat)
+        v = v.reshape(B * NQ, Q, H, C // H)
+
+        offsets = nn.Dense(
+            NQ * H * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(
+                grid_offset_bias(H, L * NQ, P)
+            ),
+            name="sampling_offsets",
+        )(q_in).reshape(B, Q, H, NQ, L, P, 2)
+        attn = nn.Dense(
+            NQ * H * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(q_in).reshape(B, Q, H, NQ, L * P)
+        if self.attn_logits_clamp is not None:
+            attn = jnp.clip(attn, -self.attn_logits_clamp, self.attn_logits_clamp)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(B, Q, H, NQ, L, P)
+
+        # fold queue into batch: (B*NQ, Q, H, L, P[,2])
+        offsets = offsets.transpose(0, 3, 1, 2, 4, 5, 6).reshape(B * NQ, Q, H, L, P, 2)
+        attn = attn.transpose(0, 3, 1, 2, 4, 5).reshape(B * NQ, Q, H, L, P)
+
+        normalizer = np.array(
+            [[w, h] for h, w in spatial_shapes], np.float32
+        )  # (L, 2) in (x, y) order
+        ref = reference_points.reshape(B * NQ, Q, L, 2)
+        locations = (
+            ref[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+
+        out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
+        out = out.reshape(B, NQ, Q, C).mean(axis=1)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class MSDeformableAttention3D(nn.Module):
+    """Inner deformable sampler of SCA: no output proj, offsets are spread
+    over the pillar's z-anchors (spatial_cross_attention.py:364-376)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 8  # total across z-anchors; must be divisible by D_z
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,             # (B, Q, C)
+        value: jnp.ndarray,             # (B, V, C)
+        *,
+        reference_points: jnp.ndarray,  # (B, Q, D_z, 2) projected pillar pts
+        spatial_shapes: Shapes,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        H, L, P = self.num_heads, self.num_levels, self.num_points
+        V = value.shape[1]
+
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
+        v = v.reshape(B, V, H, C // H)
+
+        offsets = nn.Dense(
+            H * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
+            name="sampling_offsets",
+        )(query).reshape(B, Q, H, L, P, 2)
+        attn = nn.Dense(
+            H * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(B, Q, H, L * P)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(B, Q, H, L, P)
+
+        normalizer = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+        D_z = reference_points.shape[2]
+        assert P % D_z == 0, (P, D_z)
+        offsets = offsets / normalizer[None, None, None, :, None, :]
+        offsets = offsets.reshape(B, Q, H, L, P // D_z, D_z, 2)
+        # ref (B, Q, 1, 1, 1, D_z, 2) + offsets -> (B, Q, H, L, P//D_z, D_z, 2)
+        locations = (
+            reference_points[:, :, None, None, None, :, :] + offsets
+        ).reshape(B, Q, H, L, P, 2)
+
+        out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
+        return out  # (B, Q, C) — caller owns masking/projection
+
+
+class SpatialCrossAttention(nn.Module):
+    """Image→BEV cross attention, dense-masked over cameras."""
+
+    embed_dims: int = 256
+    num_cams: int = 6
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 8
+    dropout: float = 0.1
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,                 # (B, Q, C)
+        value: jnp.ndarray,                 # (B, N_cam, V, C) image features
+        *,
+        query_pos: Optional[jnp.ndarray],
+        reference_points_cam: jnp.ndarray,  # (N_cam, B, Q, D_z, 2)
+        bev_mask: jnp.ndarray,              # (N_cam, B, Q, D_z) bool
+        spatial_shapes: Shapes,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        N = self.num_cams
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        inner = MSDeformableAttention3D(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points=self.num_points,
+            msda_impl=self.msda_impl,
+            name="deformable_attention",
+        )
+        # fold cameras into batch; queries broadcast to every camera (the
+        # reference's rebatching only skips no-hit queries — same math).
+        q_cam = jnp.broadcast_to(query[:, None], (B, N, Q, C)).reshape(B * N, Q, C)
+        v_cam = value.reshape(B * N, value.shape[2], C)
+        ref = reference_points_cam.transpose(1, 0, 2, 3, 4).reshape(
+            B * N, Q, reference_points_cam.shape[3], 2
+        )
+        out = inner(q_cam, v_cam, reference_points=ref,
+                    spatial_shapes=spatial_shapes)
+        out = out.reshape(B, N, Q, C)
+
+        hit = jnp.any(bev_mask, axis=-1)            # (N, B, Q)
+        hit = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)
+        out = (out * hit[..., None]).sum(axis=1)
+        count = jnp.clip(hit.sum(axis=1), 1.0, None)
+        out = out / count[..., None]
+
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class CustomMSDeformableAttention(nn.Module):
+    """Single-source deformable attention (det/map decoder cross-attn over
+    BEV memory), mmcv-standard semantics (decoder.py:129-358)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points: int = 4
+    dropout: float = 0.1
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,             # (B, Q, C)
+        value: jnp.ndarray,             # (B, V, C)
+        *,
+        query_pos: Optional[jnp.ndarray],
+        reference_points: jnp.ndarray,  # (B, Q, 2) normalized
+        spatial_shapes: Shapes,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        H, L, P = self.num_heads, self.num_levels, self.num_points
+        V = value.shape[1]
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
+        v = v.reshape(B, V, H, C // H)
+
+        offsets = nn.Dense(
+            H * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
+            name="sampling_offsets",
+        )(query).reshape(B, Q, H, L, P, 2)
+        attn = nn.Dense(
+            H * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(B, Q, H, L * P)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.reshape(B, Q, H, L, P)
+
+        normalizer = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+        locations = (
+            reference_points[:, :, None, None, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA with residual + dropout (decoder self-attention)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        *,
+        query_pos: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        identity = query
+        q = query + query_pos if query_pos is not None else query
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.embed_dims,
+            out_features=self.embed_dims,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            name="attn",
+        )(inputs_q=q, inputs_k=q, inputs_v=query, mask=attn_mask)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class FFN(nn.Module):
+    """mmcv FFN: Dense→ReLU→Dropout→Dense→Dropout + residual."""
+
+    embed_dims: int = 256
+    feedforward_channels: int = 512
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        identity = x
+        y = nn.Dense(self.feedforward_channels)(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(self.embed_dims)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return y + identity

@@ -1,0 +1,113 @@
+"""Multi-scale deformable attention — the hottest op in the framework.
+
+Reference: mmcv CUDA ``ms_deform_attn_forward/backward`` used by spatial
+cross-attention, temporal self-attention, the det decoder and the map decoder
+(SURVEY.md §2.2/§2.4); the semantic ground truth is the pure-PyTorch fallback
+``multi_scale_deformable_attn_pytorch_2d``
+(reference temporal_self_attention.py:293-348): per level, ``F.grid_sample``
+with ``mode='bilinear', padding_mode='zeros', align_corners=False`` on grids
+``2 * sampling_locations - 1``, then an attention-weighted sum over
+(levels × points).
+
+This module provides the pure-XLA implementation (vectorized gather +
+bilinear weights — static shapes, differentiable through the native
+gather/scatter transpose). A fused Pallas kernel lives in
+``msda_pallas.py``; ``ms_deform_attn`` dispatches between them.
+
+Shapes (functional API, batch-first):
+  value:               (B, V, H, D)   flattened multi-level features
+  spatial_shapes:      static tuple ((h0, w0), (h1, w1), ...) with sum(h*w)=V
+  sampling_locations:  (B, Q, H, L, P, 2) in [0, 1], last dim (x, y)
+  attention_weights:   (B, Q, H, L, P) — softmaxed over L*P by the caller
+  returns:             (B, Q, H * D)
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ms_deform_attn_xla(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention (see module docstring)."""
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    assert len(spatial_shapes) == L, (spatial_shapes, L)
+    sizes = [h * w for h, w in spatial_shapes]
+    assert sum(sizes) == V, (spatial_shapes, V)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+
+    compute_dtype = value.dtype
+    out = jnp.zeros((B, H, Q, D), dtype=jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        # (B, hw, H, D) -> (B, H, hw, D): gather axis contiguous per head
+        v_l = jax.lax.slice_in_dim(value, int(starts[lvl]), int(starts[lvl + 1]), axis=1)
+        v_l = v_l.transpose(0, 2, 1, 3)
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        attn = attention_weights[:, :, :, lvl]  # (B, Q, H, P)
+        # grid_sample(align_corners=False) pixel coords
+        px = loc[..., 0].astype(jnp.float32) * w - 0.5
+        py = loc[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0
+        fy = py - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        for cx, cy, cw in (
+            (0, 0, (1 - fx) * (1 - fy)),
+            (1, 0, fx * (1 - fy)),
+            (0, 1, (1 - fx) * fy),
+            (1, 1, fx * fy),
+        ):
+            ix = x0 + cx
+            iy = y0 + cy
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+            # fold bilinear corner weight with attention weight before the
+            # contraction so the (B,H,Q,P,D) intermediate is consumed at once
+            wgt = (cw * valid * attn.astype(jnp.float32)).transpose(0, 2, 1, 3)
+            idx_t = idx.transpose(0, 2, 1, 3).reshape(B, H, Q * P)
+            g = jnp.take_along_axis(
+                v_l, idx_t[..., None], axis=2
+            ).reshape(B, H, Q, P, D)
+            out = out + jnp.einsum(
+                "bhqpd,bhqp->bhqd", g.astype(jnp.float32), wgt
+            )
+    # (B, H, Q, D) -> (B, Q, H*D)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(compute_dtype)
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}."""
+    if impl == "xla":
+        return ms_deform_attn_xla(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl in ("auto", "pallas"):
+        from apollo_vision_net_tpu.ops import msda_pallas
+
+        if impl == "pallas" or msda_pallas.is_profitable(
+            value, spatial_shapes, sampling_locations
+        ):
+            return msda_pallas.ms_deform_attn_pallas(
+                value, spatial_shapes, sampling_locations, attention_weights
+            )
+        return ms_deform_attn_xla(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    raise ValueError(f"unknown impl {impl!r}")

@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; all sharding/pjit tests run
+on 8 virtual CPU devices (XLA host platform), mirroring how the reference
+exercises its DDP paths with ``nproc_per_node=1`` (SURVEY.md §4.7) — except
+we actually get 8 devices.
+
+Must run before anything imports jax.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,122 @@
+"""Multi-scale deformable attention: XLA and Pallas vs torch grid_sample.
+
+Mirrors the reference's kernel-vs-reference strategy (ops_dcnv3/test.py,
+SURVEY.md §4.1): the semantic ground truth is torch ``F.grid_sample`` with
+``bilinear/zeros/align_corners=False`` on grids ``2*loc - 1`` and an
+attention-weighted sum over levels × points (reference
+temporal_self_attention.py:293-348).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
+from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_fwd_impl
+
+
+def torch_msda_reference(value, spatial_shapes, locs, attn):
+    """Independent torch implementation of MSDA semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.from_numpy(value)
+    locs = torch.from_numpy(locs)
+    attn = torch.from_numpy(attn)
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = locs.shape
+    start = 0
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start:start + h * w]  # (B, hw, H, D)
+        start += h * w
+        v = v.permute(0, 2, 3, 1).reshape(B * H, D, h, w)
+        grid = 2.0 * locs[:, :, :, lvl] - 1.0  # (B, Q, H, P, 2)
+        grid = grid.permute(0, 2, 1, 3, 4).reshape(B * H, Q, P, 2)
+        out = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros",
+                            align_corners=False)  # (B*H, D, Q, P)
+        sampled.append(out)
+    stacked = torch.stack(sampled, dim=-2)  # (B*H, D, Q, L, P)
+    w = attn.permute(0, 2, 1, 3, 4).reshape(B * H, 1, Q, L, P)
+    out = (stacked * w).sum(dim=(-2, -1))  # (B*H, D, Q)
+    out = out.reshape(B, H, D, Q).permute(0, 3, 1, 2).reshape(B, Q, H * D)
+    return out.numpy()
+
+
+def make_inputs(rng, B=2, H=4, D=8, Q=37, P=5,
+                spatial_shapes=((6, 9), (3, 5))):
+    V = sum(h * w for h, w in spatial_shapes)
+    L = len(spatial_shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    # include locations outside [0,1] to exercise zero padding
+    locs = rng.uniform(-0.2, 1.2, (B, Q, H, L, P, 2)).astype(np.float32)
+    attn = rng.random((B, Q, H, L, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+    return value, spatial_shapes, locs, attn
+
+
+def test_xla_matches_torch():
+    rng = np.random.default_rng(0)
+    value, shapes, locs, attn = make_inputs(rng)
+    got = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    want = torch_msda_reference(value, shapes, locs, attn)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_xla_interpret():
+    rng = np.random.default_rng(1)
+    value, shapes, locs, attn = make_inputs(rng, B=1, Q=140)
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    got = np.asarray(
+        _msda_pallas_fwd_impl(value, shapes, locs, attn, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_xla_gradients_match_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(2)
+    value, shapes, locs, attn = make_inputs(rng, B=1, H=2, D=4, Q=9, P=3,
+                                            spatial_shapes=((5, 7),))
+
+    def loss_jax(v, l, a):
+        return jnp.sum(ms_deform_attn_xla(v, shapes, l, a) ** 2)
+
+    gv, gl, ga = jax.grad(loss_jax, argnums=(0, 1, 2))(value, locs, attn)
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(locs).requires_grad_(True)
+    ta = torch.from_numpy(attn).requires_grad_(True)
+
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = locs.shape
+    h, w = shapes[0]
+    v = tv.permute(0, 2, 3, 1).reshape(B * H, D, h, w)
+    grid = (2.0 * tl[:, :, :, 0] - 1.0).permute(0, 2, 1, 3, 4).reshape(
+        B * H, Q, P, 2)
+    out = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    wgt = ta.permute(0, 2, 1, 3, 4).reshape(B * H, 1, Q, L * P)
+    res = (out * wgt).sum(-1).reshape(B, H, D, Q).permute(0, 3, 1, 2)
+    (res.reshape(B, Q, H * D) ** 2).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    # location grads: grid_sample gradients are undefined exactly on integer
+    # lattice points; random floats almost surely avoid them.
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dispatch_auto():
+    from apollo_vision_net_tpu.ops import ms_deform_attn
+
+    rng = np.random.default_rng(3)
+    value, shapes, locs, attn = make_inputs(rng)
+    got = np.asarray(ms_deform_attn(value, shapes, locs, attn, impl="xla"))
+    want = torch_msda_reference(value, shapes, locs, attn)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
