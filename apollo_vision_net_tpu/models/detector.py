@@ -1,0 +1,133 @@
+"""BEVFormer detector — multi-task orchestrator.
+
+Parity: bevformer/detectors/bevformer.py:19-466 — grid-mask augmentation,
+backbone+neck feature extraction (:80-160), temporal history BEV via
+no-grad replay of the queue (:260-276), train forward on the final frame
+(:298-373), stateful streaming inference (:375-409; the scene-reset /
+can_bus delta bookkeeping lives in data/temporal.py since it is host-side
+state, not model math).
+
+TPU-first: the queue replay is an unrolled loop over T-1 frames under
+``stop_gradient`` (the reference's eval-mode ``obtain_history_bev``); every
+frame's has_prev flag comes from the dataset (`prev_bev_exists`), making the
+whole train step one jittable graph with static shapes.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from apollo_vision_net_tpu.models.fpn import FPN
+from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
+from apollo_vision_net_tpu.models.resnet import ResNet
+from apollo_vision_net_tpu.utils.grid_mask import grid_mask
+
+
+class BEVFormer(nn.Module):
+    head: BEVFormerHead
+    backbone_depth: int = 50
+    backbone_out_indices: Sequence[int] = (3,)
+    neck_num_outs: int = 1
+    embed_dims: int = 256
+    use_grid_mask: bool = True
+    video_test_mode: bool = True
+
+    def setup(self):
+        self.img_backbone = ResNet(
+            depth=self.backbone_depth, out_indices=self.backbone_out_indices
+        )
+        self.img_neck = FPN(
+            out_channels=self.embed_dims, num_outs=self.neck_num_outs
+        )
+
+    def extract_img_feat(
+        self, img: jnp.ndarray, *, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, ...]:
+        """(B, N, H, W, 3) -> [(B, N, h, w, C)] per level."""
+        B, N, H, W, C = img.shape
+        x = img.reshape(B * N, H, W, C)
+        if self.use_grid_mask and not deterministic:
+            x = grid_mask(self.make_rng("grid_mask"), x)
+        feats = self.img_neck(self.img_backbone(x))
+        return tuple(
+            f.reshape((B, N) + f.shape[1:]) for f in feats
+        )
+
+    def obtain_history_bev(
+        self,
+        imgs_queue: jnp.ndarray,      # (B, T-1, N, H, W, 3)
+        can_bus_queue: jnp.ndarray,   # (B, T-1, 18)
+        lidar2img_queue: jnp.ndarray, # (B, T-1, N, 4, 4)
+        has_prev_queue: jnp.ndarray,  # (B, T-1)
+    ) -> jnp.ndarray:
+        """No-grad replay of the T-1 history frames (reference :260-276)."""
+        B, Tm1 = imgs_queue.shape[:2]
+        Q = self.head.bev_h * self.head.bev_w
+        prev_bev = jnp.zeros((B, Q, self.embed_dims), imgs_queue.dtype)
+        for t in range(Tm1):
+            feats = self.extract_img_feat(imgs_queue[:, t], deterministic=True)
+            # per-frame prev_bev_exists flag (handles mid-queue scene change,
+            # reference obtain_history_bev's per-frame None reset)
+            has_prev = has_prev_queue[:, t]
+            prev_bev = self.head(
+                feats,
+                can_bus=can_bus_queue[:, t],
+                lidar2img=lidar2img_queue[:, t],
+                prev_bev=prev_bev,
+                has_prev=has_prev,
+                only_bev=True,
+                deterministic=True,
+            )
+        return jax.lax.stop_gradient(prev_bev)
+
+    def __call__(
+        self,
+        img: jnp.ndarray,        # (B, T, N, H, W, 3) normalized images
+        can_bus: jnp.ndarray,    # (B, T, 18)
+        lidar2img: jnp.ndarray,  # (B, T, N, 4, 4)
+        has_prev: jnp.ndarray,   # (B, T) float {0,1}: prev_bev usable
+        *,
+        deterministic: bool = True,
+    ):
+        """Training/eval forward over a temporal queue; the last frame is
+        the supervised one (reference forward_train :298-373)."""
+        T = img.shape[1]
+        if T > 1:
+            prev_bev = self.obtain_history_bev(
+                img[:, :-1], can_bus[:, :-1], lidar2img[:, :-1],
+                has_prev[:, :-1],
+            )
+            cur_has_prev = has_prev[:, -1]
+        else:
+            B = img.shape[0]
+            Q = self.head.bev_h * self.head.bev_w
+            prev_bev = jnp.zeros((B, Q, self.embed_dims), img.dtype)
+            cur_has_prev = has_prev[:, 0]
+        feats = self.extract_img_feat(img[:, -1], deterministic=deterministic)
+        return self.head(
+            feats,
+            can_bus=can_bus[:, -1],
+            lidar2img=lidar2img[:, -1],
+            prev_bev=prev_bev,
+            has_prev=cur_has_prev,
+            deterministic=deterministic,
+        )
+
+    def forward_test_frame(
+        self,
+        img: jnp.ndarray,        # (B, N, H, W, 3) one frame
+        can_bus: jnp.ndarray,    # (B, 18) — deltas already applied by host
+        lidar2img: jnp.ndarray,  # (B, N, 4, 4)
+        prev_bev: jnp.ndarray,   # (B, Q, C) carried state
+        has_prev: jnp.ndarray,   # (B,)
+    ):
+        """Streaming inference step: returns (outs, new_prev_bev)."""
+        feats = self.extract_img_feat(img, deterministic=True)
+        outs = self.head(
+            feats, can_bus=can_bus, lidar2img=lidar2img,
+            prev_bev=prev_bev, has_prev=has_prev, deterministic=True,
+        )
+        return outs, outs["bev_embed"]

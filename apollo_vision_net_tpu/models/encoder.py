@@ -1,0 +1,175 @@
+"""BEVFormer encoder: temporal self-attention + spatial cross-attention.
+
+Parity: bevformer/modules/encoder.py:25-518 (BEVFormerEncoder +
+BEVFormerLayer, operation order self_attn→norm→cross_attn→norm→ffn→norm,
+post-norm).
+
+Temporal handling is expressed jit-uniformly: instead of the reference's
+`prev_bev is None` Python branch (encoder.py:316-325), a traced `has_prev`
+scalar in {0,1} blends the no-history behaviour (value = current query in
+both queue slots, zero shift/rotation — exactly what the reference computes
+for frame 0, since the dataset zeroes can_bus deltas for queue starts). The
+reference's deliberate shift aliasing bug — `shift_ref_2d = ref_2d` without
+clone, so the *current* stream's reference points also get shifted
+(encoder.py:309-311) — is reproduced under `shift_current_refs=True`
+(default, for paper parity) and fixable via config.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from apollo_vision_net_tpu.models.attention import (
+    FFN,
+    SpatialCrossAttention,
+    TemporalSelfAttention,
+)
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+class BEVFormerLayer(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1  # image feature levels (SCA)
+    num_points_sca: int = 8
+    num_points_tsa: int = 4
+    num_cams: int = 6
+    feedforward_channels: int = 512
+    ffn_dropout: float = 0.1
+    attn_logits_clamp: Optional[float] = None
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        bev_query: jnp.ndarray,          # (B, Q, C)
+        img_value: jnp.ndarray,          # (B, N_cam, V_img, C)
+        *,
+        bev_pos: jnp.ndarray,            # (B, Q, C)
+        tsa_value: jnp.ndarray,          # (B, 2, Q, C)
+        tsa_refs: jnp.ndarray,           # (B, 2, Q, 1, 2)
+        bev_spatial_shapes: Shapes,
+        img_spatial_shapes: Shapes,
+        reference_points_cam: jnp.ndarray,
+        bev_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = TemporalSelfAttention(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_levels=1,
+            num_points=self.num_points_tsa,
+            attn_logits_clamp=self.attn_logits_clamp,
+            msda_impl=self.msda_impl,
+            name="tsa",
+        )(
+            bev_query, tsa_value,
+            query_pos=bev_pos,
+            reference_points=tsa_refs,
+            spatial_shapes=bev_spatial_shapes,
+            deterministic=deterministic,
+        )
+        q = nn.LayerNorm(name="norm1")(q)
+        q = SpatialCrossAttention(
+            embed_dims=self.embed_dims,
+            num_cams=self.num_cams,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points=self.num_points_sca,
+            msda_impl=self.msda_impl,
+            name="sca",
+        )(
+            q, img_value,
+            query_pos=None,  # reference SCA receives query_pos=None
+            reference_points_cam=reference_points_cam,
+            bev_mask=bev_mask,
+            spatial_shapes=img_spatial_shapes,
+            deterministic=deterministic,
+        )
+        q = nn.LayerNorm(name="norm2")(q)
+        q = FFN(
+            embed_dims=self.embed_dims,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.ffn_dropout,
+            name="ffn",
+        )(q, deterministic=deterministic)
+        q = nn.LayerNorm(name="norm3")(q)
+        return q
+
+
+class BEVFormerEncoder(nn.Module):
+    num_layers: int = 3
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 1
+    num_points_sca: int = 8
+    num_points_tsa: int = 4
+    num_cams: int = 6
+    feedforward_channels: int = 512
+    ffn_dropout: float = 0.1
+    attn_logits_clamp: Optional[float] = None
+    shift_current_refs: bool = True  # reproduce encoder.py:309-311 alias bug
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        bev_query: jnp.ndarray,            # (B, Q, C)
+        img_value: jnp.ndarray,            # (B, N_cam, V_img, C)
+        *,
+        bev_pos: jnp.ndarray,              # (B, Q, C)
+        prev_bev: jnp.ndarray,             # (B, Q, C) — aligned history
+        has_prev: jnp.ndarray,             # (B,) float {0,1}
+        shift: jnp.ndarray,                # (B, 2) normalized grid shift
+        ref_2d: jnp.ndarray,               # (Q, 2) plane reference points
+        bev_h: int,
+        bev_w: int,
+        img_spatial_shapes: Shapes,
+        reference_points_cam: jnp.ndarray,  # (N_cam, B, Q, D_z, 2)
+        bev_mask: jnp.ndarray,              # (N_cam, B, Q, D_z)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Q, C = bev_query.shape
+        hp = has_prev[:, None, None]
+        # frame-0 parity: value slots both = current query, shift = 0
+        shift = shift * has_prev[:, None]
+
+        ref = jnp.broadcast_to(ref_2d[None], (B, Q, 2))
+        ref_shifted = ref + shift[:, None, :]
+        ref_prev = ref_shifted
+        ref_cur = ref_shifted if self.shift_current_refs else ref
+        tsa_refs = jnp.stack([ref_prev, ref_cur], axis=1)[:, :, :, None, :]
+
+        q0 = bev_query
+        q = bev_query
+        for lid in range(self.num_layers):
+            value_prev = hp * prev_bev + (1.0 - hp) * q
+            value_cur = hp * q0 + (1.0 - hp) * q
+            tsa_value = jnp.stack([value_prev, value_cur], axis=1)
+            q = BEVFormerLayer(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                num_levels=self.num_levels,
+                num_points_sca=self.num_points_sca,
+                num_points_tsa=self.num_points_tsa,
+                num_cams=self.num_cams,
+                feedforward_channels=self.feedforward_channels,
+                ffn_dropout=self.ffn_dropout,
+                attn_logits_clamp=self.attn_logits_clamp,
+                msda_impl=self.msda_impl,
+                name=f"layer{lid}",
+            )(
+                q, img_value,
+                bev_pos=bev_pos,
+                tsa_value=tsa_value,
+                tsa_refs=tsa_refs,
+                bev_spatial_shapes=((bev_h, bev_w),),
+                img_spatial_shapes=img_spatial_shapes,
+                reference_points_cam=reference_points_cam,
+                bev_mask=bev_mask,
+                deterministic=deterministic,
+            )
+        return q

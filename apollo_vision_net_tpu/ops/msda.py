@@ -101,8 +101,12 @@ def ms_deform_attn(
     if impl in ("auto", "pallas"):
         from apollo_vision_net_tpu.ops import msda_pallas
 
-        if impl == "pallas" or msda_pallas.is_profitable(
-            value, spatial_shapes, sampling_locations
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if impl == "pallas" or (
+            on_tpu
+            and msda_pallas.is_profitable(
+                value, spatial_shapes, sampling_locations
+            )
         ):
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights

@@ -11,6 +11,11 @@ lives in VMEM, so the kernel is profitable when ``V · H · D`` fits on-chip
 (BEV grids ≤ ~100×100 and tiny/small image pyramids); larger operands fall
 back to the pure-XLA gather path in ``msda.py``.
 
+VMEM layout note: operands are flattened to 3D with wide trailing dims
+before the pallas_call — VMEM tiles the last two dims to (8, 128)-multiples,
+so a 6D (..., P, 2) block would pad each (P, 2) tail to (8, 128), a >100×
+memory blowup that OOMs scoped VMEM even for tiny inputs.
+
 Differentiation: forward runs the Pallas kernel; the backward pass reuses
 the VJP of the XLA implementation (numerically identical semantics), which
 keeps the kernel simple and is cheap relative to the rest of the step.
@@ -27,13 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget heuristic: value block + W matrix + scratch must fit in ~16MB.
-_VMEM_VALUE_LIMIT_BYTES = 6 * 1024 * 1024
+_VMEM_VALUE_LIMIT_BYTES = 4 * 1024 * 1024
 _MAX_LEVEL_SIZE = 8192  # widest one-hot contraction we are willing to build
 
 
 def is_profitable(value, spatial_shapes, sampling_locations) -> bool:
     B, V, H, D = value.shape
-    value_bytes = V * H * D * 4
+    value_bytes = V * max(H * D, 128) * 4
     if value_bytes > _VMEM_VALUE_LIMIT_BYTES:
         return False
     if max(h * w for h, w in spatial_shapes) > _MAX_LEVEL_SIZE:
@@ -42,9 +47,9 @@ def is_profitable(value, spatial_shapes, sampling_locations) -> bool:
 
 
 def _msda_kernel(
-    value_ref,  # (1, V, H, D)
-    loc_ref,    # (1, QT, H, L, P, 2)
-    attn_ref,   # (1, QT, H, L, P)
+    value_ref,  # (1, V, H*D)
+    loc_ref,    # (1, QT, H*L*P*2)   layout (h, l, p, xy)
+    attn_ref,   # (1, QT, H*L*P)     layout (h, l, p)
     out_ref,    # (1, QT, H*D)
     *,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -53,20 +58,23 @@ def _msda_kernel(
     head_dim: int,
 ):
     QT = loc_ref.shape[1]
+    L = len(spatial_shapes)
+    P = num_points
+    D = head_dim
     starts = np.concatenate(
         [[0], np.cumsum([h * w for h, w in spatial_shapes])]
     ).astype(int)
     for head in range(num_heads):
-        acc = jnp.zeros((QT, head_dim), dtype=jnp.float32)
+        acc = jnp.zeros((QT, D), dtype=jnp.float32)
         for lvl, (h, w) in enumerate(spatial_shapes):
             size = h * w
             col = jax.lax.broadcasted_iota(jnp.int32, (QT, size), 1)
             w_mat = jnp.zeros((QT, size), dtype=jnp.float32)
-            for p in range(num_points):
-                # (QT, 1) slices keep everything >=2D for the VPU
-                px = loc_ref[0, :, head, lvl, p, 0:1].astype(jnp.float32) * w - 0.5
-                py = loc_ref[0, :, head, lvl, p, 1:2].astype(jnp.float32) * h - 0.5
-                aw = attn_ref[0, :, head, lvl, p:p + 1].astype(jnp.float32)
+            for p in range(P):
+                flat = (head * L + lvl) * P + p
+                px = loc_ref[0, :, 2 * flat:2 * flat + 1].astype(jnp.float32) * w - 0.5
+                py = loc_ref[0, :, 2 * flat + 1:2 * flat + 2].astype(jnp.float32) * h - 0.5
+                aw = attn_ref[0, :, flat:flat + 1].astype(jnp.float32)
                 x0 = jnp.floor(px)
                 y0 = jnp.floor(py)
                 fx = px - x0
@@ -85,9 +93,9 @@ def _msda_kernel(
                     idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
                     wgt = aw * cw * valid.astype(jnp.float32)  # (QT, 1)
                     w_mat = w_mat + jnp.where(col == idx, wgt, 0.0)
-            v_l = value_ref[0, starts[lvl]:starts[lvl + 1], head, :].astype(
-                jnp.float32
-            )
+            v_l = value_ref[
+                0, starts[lvl]:starts[lvl + 1], head * D:(head + 1) * D
+            ].astype(jnp.float32)
             # HIGHEST = bf16x3 passes on the MXU: f32-accurate sampling.
             # The VPU one-hot build dominates this kernel, not the MXU.
             acc = acc + jnp.dot(
@@ -95,24 +103,23 @@ def _msda_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[0, :, head * head_dim:(head + 1) * head_dim] = acc.astype(
-            out_ref.dtype
-        )
+        out_ref[0, :, head * D:(head + 1) * D] = acc.astype(out_ref.dtype)
 
 
 def _msda_pallas_fwd_impl(
-    value, spatial_shapes, sampling_locations, attention_weights, *, interpret=False
+    value, spatial_shapes, sampling_locations, attention_weights, *,
+    interpret=False, q_tile=128,
 ):
     B, V, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
-    QT = 128
+    QT = q_tile
     Qp = ((Q + QT - 1) // QT) * QT
+    loc = sampling_locations.reshape(B, Q, H * L * P * 2)
+    attn = attention_weights.reshape(B, Q, H * L * P)
     if Qp != Q:
-        pad = [(0, 0), (0, Qp - Q)] + [(0, 0)] * (sampling_locations.ndim - 2)
-        sampling_locations = jnp.pad(sampling_locations, pad)
-        attention_weights = jnp.pad(
-            attention_weights, [(0, 0), (0, Qp - Q), (0, 0), (0, 0), (0, 0)]
-        )
+        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
+        attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
+    value3 = value.reshape(B, V, H * D)
     kernel = functools.partial(
         _msda_kernel,
         spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
@@ -124,11 +131,11 @@ def _msda_pallas_fwd_impl(
         kernel,
         grid=(B, Qp // QT),
         in_specs=[
-            pl.BlockSpec((1, V, H, D), lambda b, q: (b, 0, 0, 0),
+            pl.BlockSpec((1, V, H * D), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT, H, L, P, 2), lambda b, q: (b, q, 0, 0, 0, 0),
+            pl.BlockSpec((1, QT, H * L * P * 2), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT, H, L, P), lambda b, q: (b, q, 0, 0, 0),
+            pl.BlockSpec((1, QT, H * L * P), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, QT, H * D), lambda b, q: (b, q, 0),
@@ -140,7 +147,7 @@ def _msda_pallas_fwd_impl(
             bytes_accessed=B * (V * H * D * 4 + Qp * H * L * P * 6 * 4),
             transcendentals=0,
         ),
-    )(value, sampling_locations, attention_weights)
+    )(value3, loc, attn)
     return out[:, :Q]
 
 

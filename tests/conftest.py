@@ -18,4 +18,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# after import is what actually pins tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,81 @@
+"""Golden-shape forward smoke test (analog of the reference's
+tools/smoke_det_map_forward_train.py + debug_shapes_v1mini.py)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from apollo_vision_net_tpu.models.detector import BEVFormer
+from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_inputs():
+    B, T, N, H, W = 1, 2, 2, 64, 96
+    head = BEVFormerHead(
+        bev_h=8, bev_w=8, num_query=12, num_classes=10, embed_dims=32,
+        img_shape=(H, W), num_cams=N, num_feature_levels=1,
+        encoder_layers=1, decoder_layers=2, feedforward_channels=64,
+    )
+    model = BEVFormer(head=head, embed_dims=32, neck_num_outs=1)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((B, T, N, H, W, 3)).astype(np.float32)
+    can_bus = rng.standard_normal((B, T, 18)).astype(np.float32)
+    # plausible pinhole lidar2img
+    l2i = np.zeros((B, T, N, 4, 4), np.float32)
+    fx = 50.0
+    for n in range(N):
+        K = np.array([[fx, 0, W / 2, 0], [0, fx, H / 2, 0],
+                      [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        yaw = 2 * np.pi * n / N
+        R = np.eye(4, dtype=np.float32)
+        R[:3, :3] = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0],
+             [0, 0, -1],
+             [np.sin(yaw), np.cos(yaw), 0]], np.float32)
+        l2i[:, :, n] = K @ R
+    has_prev = np.array([[0.0, 1.0]], np.float32)
+    inputs = dict(img=jnp.asarray(img), can_bus=jnp.asarray(can_bus),
+                  lidar2img=jnp.asarray(l2i), has_prev=jnp.asarray(has_prev))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, **inputs, deterministic=True
+    )
+    return model, params, inputs
+
+
+def test_forward_shapes(tiny_model_and_inputs):
+    model, params, inputs = tiny_model_and_inputs
+    outs = model.apply(params, **inputs, deterministic=True)
+    assert outs["bev_embed"].shape == (1, 64, 32)
+    assert outs["all_cls_scores"].shape == (2, 1, 12, 10)
+    assert outs["all_bbox_preds"].shape == (2, 1, 12, 10)
+    for v in outs.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_forward_train_mode_runs(tiny_model_and_inputs):
+    model, params, inputs = tiny_model_and_inputs
+    outs = model.apply(
+        params, **inputs, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "grid_mask": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
+
+
+def test_streaming_inference_carries_state(tiny_model_and_inputs):
+    model, params, inputs = tiny_model_and_inputs
+    img0 = inputs["img"][:, 0]
+    prev0 = jnp.zeros((1, 64, 32))
+    outs0, bev0 = model.apply(
+        params, img0, inputs["can_bus"][:, 0], inputs["lidar2img"][:, 0],
+        prev0, jnp.zeros((1,)), method=BEVFormer.forward_test_frame,
+    )
+    outs1, bev1 = model.apply(
+        params, inputs["img"][:, 1], inputs["can_bus"][:, 1],
+        inputs["lidar2img"][:, 1], bev0, jnp.ones((1,)),
+        method=BEVFormer.forward_test_frame,
+    )
+    assert bev0.shape == bev1.shape == (1, 64, 32)
+    assert not np.allclose(np.asarray(outs0["all_cls_scores"]),
+                           np.asarray(outs1["all_cls_scores"]))
