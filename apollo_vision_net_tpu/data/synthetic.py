@@ -1,0 +1,90 @@
+"""Synthetic batches matching the real data contracts.
+
+The analog of the reference's mock/smoke tooling
+(tools/analysis_tools/mock_maptrv2_output.py, smoke_det_map_forward_train):
+generates geometrically-plausible multi-camera batches (pinhole intrinsics,
+ring of cameras, ego motion along +x) so model/loss/bench code paths can be
+exercised without nuScenes on disk.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from apollo_vision_net_tpu.configs.base import ExperimentConfig
+
+
+def camera_ring_lidar2img(num_cams: int, img_h: int, img_w: int,
+                          fov_deg: float = 70.0) -> np.ndarray:
+    """(N, 4, 4) lidar→image matrices for a ring of forward-tilted cameras."""
+    f = (img_w / 2.0) / np.tan(np.deg2rad(fov_deg) / 2.0)
+    K = np.array(
+        [[f, 0, img_w / 2.0, 0],
+         [0, f, img_h / 2.0, 0],
+         [0, 0, 1, 0],
+         [0, 0, 0, 1]], np.float64,
+    )
+    mats = []
+    for n in range(num_cams):
+        yaw = 2.0 * np.pi * n / num_cams
+        # lidar (x fwd, y left, z up) -> camera (x right, y down, z fwd)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array(
+            [[-s, c, 0, 0],
+             [0, 0, -1, 0],
+             [c, s, 0, 0],
+             [0, 0, 0, 1]], np.float64,
+        )
+        mats.append(K @ R)
+    return np.stack(mats).astype(np.float32)
+
+
+def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
+               dtype=np.float32) -> Dict[str, np.ndarray]:
+    m, d = cfg.model, cfg.data
+    rng = np.random.default_rng(seed)
+    B, T, N = batch_size, m.queue_length, m.num_cams
+    H, W = m.img_shape
+    G = d.max_gt_boxes
+
+    img = rng.standard_normal((B, T, N, H, W, 3)).astype(dtype)
+    can_bus = np.zeros((B, T, 18), np.float32)
+    # ~0.5 m/frame forward motion, slight yaw drift; frame 0 deltas zeroed
+    can_bus[:, 1:, 0] = rng.normal(0.5, 0.05, (B, T - 1)) if T > 1 else 0
+    can_bus[:, :, -2] = rng.normal(0.0, 0.01, (B, T))  # global yaw (rad)
+    can_bus[:, :, -1] = 0.0  # yaw delta (deg); 0 for frame 0
+    if T > 1:
+        can_bus[:, 1:, -1] = rng.normal(0.0, 0.2, (B, T - 1))
+
+    l2i = camera_ring_lidar2img(N, H, W)
+    lidar2img = np.broadcast_to(l2i, (B, T, N, 4, 4)).copy()
+    has_prev = np.ones((B, T), np.float32)
+    has_prev[:, 0] = 0.0
+
+    n_real = rng.integers(1, max(G // 2, 2), B)
+    gt_boxes = np.zeros((B, G, 9), np.float32)
+    gt_boxes[..., 3:6] = 1.0
+    gt_labels = np.zeros((B, G), np.int32)
+    gt_mask = np.zeros((B, G), bool)
+    pc = np.asarray(m.pc_range)
+    for b in range(B):
+        k = int(n_real[b])
+        gt_boxes[b, :k, 0] = rng.uniform(pc[0] * 0.8, pc[3] * 0.8, k)
+        gt_boxes[b, :k, 1] = rng.uniform(pc[1] * 0.8, pc[4] * 0.8, k)
+        gt_boxes[b, :k, 2] = rng.uniform(-2.0, 0.5, k)
+        gt_boxes[b, :k, 3:6] = rng.uniform(0.5, 5.0, (k, 3))
+        gt_boxes[b, :k, 6] = rng.uniform(-np.pi, np.pi, k)
+        gt_boxes[b, :k, 7:9] = rng.normal(0, 2, (k, 2))
+        gt_labels[b, :k] = rng.integers(0, m.num_classes, k)
+        gt_mask[b, :k] = True
+
+    return dict(
+        img=img,
+        can_bus=can_bus,
+        lidar2img=lidar2img,
+        has_prev=has_prev,
+        gt_boxes=gt_boxes,
+        gt_labels=gt_labels,
+        gt_mask=gt_mask,
+    )

@@ -1,0 +1,53 @@
+"""Benchmark: 6-camera frames/sec/chip, streaming BEVFormer det inference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north star = 60 six-camera frames/sec/chip
+(BEVFormer-base det+map on v5e); round-1 flagship is BEVFormer-tiny det.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    step = jax.jit(fn, donate_argnums=(3,))
+
+    # warmup / compile
+    prev = args[3]
+    out = step(args[0], args[1], args[2], prev, args[4])
+    jax.block_until_ready(out)
+    prev = out[2]
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(args[0], args[1], args[2], prev, args[4])
+        prev = out[2]
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    batch = int(args[0].shape[0])
+    fps = batch * n_iters / dt
+    baseline = 60.0
+    print(json.dumps({
+        "metric": "6cam_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
