@@ -31,6 +31,10 @@ class DetrDecoderLayer(nn.Module):
     feedforward_channels: int = 512
     dropout: float = 0.1
     msda_impl: str = "auto"
+    # Group-DETR (reference bevformer/modules/group_attention.py:148-157):
+    # during training the query set is `self_attn_groups` independent groups
+    # folded into the batch so self-attention cannot mix groups.
+    self_attn_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -44,13 +48,22 @@ class DetrDecoderLayer(nn.Module):
         self_attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        q = MultiheadAttention(
+        B, Q, C = query.shape
+        G = self.self_attn_groups if (Q % self.self_attn_groups == 0) else 1
+        mha = MultiheadAttention(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             dropout=self.dropout,
             name="self_attn",
-        )(query, query_pos=query_pos, attn_mask=self_attn_mask,
-          deterministic=deterministic)
+        )
+        if G > 1:
+            qg = query.reshape(B * G, Q // G, C)
+            pg = query_pos.reshape(B * G, Q // G, C)
+            q = mha(qg, query_pos=pg, attn_mask=self_attn_mask,
+                    deterministic=deterministic).reshape(B, Q, C)
+        else:
+            q = mha(query, query_pos=query_pos, attn_mask=self_attn_mask,
+                    deterministic=deterministic)
         q = nn.LayerNorm(name="norm1")(q)
         q = CustomMSDeformableAttention(
             embed_dims=self.embed_dims,
@@ -84,6 +97,7 @@ class DetectionTransformerDecoder(nn.Module):
     feedforward_channels: int = 512
     dropout: float = 0.1
     msda_impl: str = "auto"
+    self_attn_groups: int = 1
 
     @nn.compact
     def __call__(
@@ -109,6 +123,7 @@ class DetectionTransformerDecoder(nn.Module):
                 feedforward_channels=self.feedforward_channels,
                 dropout=self.dropout,
                 msda_impl=self.msda_impl,
+                self_attn_groups=self.self_attn_groups,
                 name=f"layer{lid}",
             )(
                 out, memory,

@@ -74,6 +74,9 @@ class BEVFormerHead(nn.Module):
     shift_current_refs: bool = True
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
+    # Group-DETR (occupancy_head_apollo.py:40-49): num_query is the TOTAL
+    # (per-group × group_detr); at inference only the first group is used.
+    group_detr: int = 1
 
     @property
     def real_hw(self) -> Tuple[float, float]:
@@ -110,6 +113,7 @@ class BEVFormerHead(nn.Module):
             shift_current_refs=self.shift_current_refs,
             attn_logits_clamp=self.attn_logits_clamp,
             msda_impl=self.msda_impl,
+            decoder_self_attn_groups=self.group_detr,
         )
         self.cls_branches = [
             ClsBranch(self.embed_dims, self.num_classes, name=f"cls_branch{i}")
@@ -169,8 +173,13 @@ class BEVFormerHead(nn.Module):
             # lid is a Python int (the decoder loop is unrolled)
             return self.reg_branches[lid](x)
 
+        # Group-DETR: inference uses only the first query group
+        query_embedding = self.query_embedding
+        if self.group_detr > 1 and deterministic:
+            query_embedding = query_embedding[: self.num_query // self.group_detr]
+
         bev_embed, hs, init_ref, inter_refs = self.transformer(
-            mlvl_feats, self.bev_embedding, self.query_embedding,
+            mlvl_feats, self.bev_embedding, query_embedding,
             bev_h=self.bev_h, bev_w=self.bev_w, grid_length=grid_length,
             bev_pos=bev_pos, prev_bev=prev_bev, has_prev=has_prev,
             can_bus=can_bus, ref_2d=ref_2d,

@@ -40,6 +40,7 @@ class PerceptionTransformer(nn.Module):
     # decoder
     decoder_layers: int = 6
     num_points_decoder: int = 4
+    decoder_self_attn_groups: int = 1  # Group-DETR
     # behaviour flags (transformer.py:52-58)
     rotate_prev_bev: bool = True
     use_shift: bool = True
@@ -86,6 +87,7 @@ class PerceptionTransformer(nn.Module):
             feedforward_channels=self.feedforward_channels,
             dropout=self.dropout,
             msda_impl=self.msda_impl,
+            self_attn_groups=self.decoder_self_attn_groups,
         )
         self.reference_points_fc = nn.Dense(
             3, kernel_init=nn.initializers.variance_scaling(
