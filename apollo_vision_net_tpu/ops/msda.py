@@ -30,6 +30,70 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ms_deform_attn_xla_patch(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Corner-folded gather variant — the fast XLA path on TPU.
+
+    XLA's TPU gather costs ~constant time per gathered row regardless of
+    row width (measured ~17 ns/row on v5e), so the naive formulation's
+    4 corner gathers dominate. Here each level is zero-padded by one cell
+    and expanded into a (V_pad, 4·D) tensor holding the 2×2 neighbourhood
+    of every cell (built with two rolls — dense, bandwidth-cheap); bilinear
+    sampling then needs ONE gathered row per (query, head, point), with the
+    4 corner weights applied to the row's 4 D-blocks. Zero padding makes
+    the out-of-image semantics exact; samples entirely outside are masked.
+    """
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    sizes = [h * w for h, w in spatial_shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    out = jnp.zeros((B, H, Q, D), dtype=jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v_l = jax.lax.slice_in_dim(
+            value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
+        ).reshape(B, h, w, H, D)
+        vp = jnp.pad(v_l, [(0, 0), (1, 1), (1, 1), (0, 0), (0, 0)])
+        # 2x2 patch per padded cell: [(0,0), (0,1), (1,0), (1,1)]
+        p00 = vp
+        p01 = jnp.roll(vp, -1, axis=2)
+        p10 = jnp.roll(vp, -1, axis=1)
+        p11 = jnp.roll(p10, -1, axis=2)
+        patch = jnp.stack([p00, p01, p10, p11], axis=4)  # (B,h+2,w+2,H,4,D)
+        patch = patch.transpose(0, 3, 1, 2, 4, 5).reshape(
+            B, H, (h + 2) * (w + 2), 4 * D
+        )
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        attn = attention_weights[:, :, :, lvl].astype(jnp.float32)
+        px = loc[..., 0].astype(jnp.float32) * w - 0.5
+        py = loc[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = px - x0
+        fy = py - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        inside = (x0i >= -1) & (x0i <= w - 1) & (y0i >= -1) & (y0i <= h - 1)
+        idx = (jnp.clip(y0i, -1, h - 1) + 1) * (w + 2) + (
+            jnp.clip(x0i, -1, w - 1) + 1
+        )
+        idx_t = idx.transpose(0, 2, 1, 3).reshape(B, H, Q * P)
+        rows = jnp.take_along_axis(patch, idx_t[..., None], axis=2)
+        rows = rows.reshape(B, H, Q, P, 4, D).astype(jnp.float32)
+        cw = jnp.stack(
+            [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
+            axis=-1,
+        )  # (B, Q, H, P, 4)
+        wgt = (cw * (attn * inside.astype(jnp.float32))[..., None])
+        wgt = wgt.transpose(0, 2, 1, 3, 4)  # (B, H, Q, P, 4)
+        out = out + jnp.einsum("bhqpcd,bhqpc->bhqd", rows, wgt)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
+
+
 def ms_deform_attn_xla(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],

