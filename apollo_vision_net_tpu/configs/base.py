@@ -29,8 +29,11 @@ class ModelConfig:
     feedforward_channels: int = 512
     num_cams: int = 6
     num_feature_levels: int = 1
+    backbone_type: str = "resnet"
     backbone_depth: int = 50
     backbone_out_indices: Tuple[int, ...] = (3,)
+    neck_type: str = "fpn"
+    group_detr: int = 1
     # inputs
     img_shape: Tuple[int, int] = (480, 800)  # post-pipeline (H, W)
     queue_length: int = 3
@@ -46,6 +49,30 @@ class ModelConfig:
     # tasks
     with_occupancy: bool = False
     with_map: bool = False
+    # occupancy (Apollo det+occ: 200x200x16 @0.5m, occ_dims 128)
+    occupancy_classes: int = 16
+    occ_xdim: int = 200
+    occ_ydim: int = 200
+    occ_zdim: int = 16
+    occ_dims: int = 128
+    occ_head_type: str = "cnn"
+    predict_flow: bool = False
+    occ_loss_type: str = "CustomFocalLoss"
+    # map (MapTR v1 protocol)
+    num_map_vec: int = 50
+    map_num_pts: int = 20
+    map_num_classes: int = 3
+    map_decoder_layers: int = 6
+    map_shift_pattern: str = "v2"
+
+    @property
+    def map_patch_size(self) -> Tuple[float, float]:
+        """(patch_h, patch_w) — derived from pc_range like the reference's
+        VectorizedLocalMap (det_occ_map_dataset.py:300-307)."""
+        return (
+            self.pc_range[4] - self.pc_range[1],
+            self.pc_range[3] - self.pc_range[0],
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +108,69 @@ def bev_tiny_det() -> ExperimentConfig:
     """projects/configs/bevformer/bev_tiny_det.py — R50, 200×200 BEV,
     900 queries, 3 encoder / 6 decoder layers, queue 3."""
     return ExperimentConfig(name="bev_tiny_det", model=ModelConfig())
+
+
+def bev_tiny_det_occ_apollo() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_occ_apollo.py — DLA-34 +
+    SECONDFPNV2, 50×50 BEV, group_detr=11 (900 queries/group), CNN-upsample
+    occupancy 200×200×16 @0.5m, CustomFocal+lovász+affinity losses."""
+    return ExperimentConfig(
+        name="bev_tiny_det_occ_apollo",
+        model=ModelConfig(
+            bev_h=50, bev_w=50,
+            backbone_type="dla", backbone_out_indices=(3, 4, 5),
+            neck_type="secondfpn",
+            num_query=900 * 11, group_detr=11,
+            with_occupancy=True,
+        ),
+    )
+
+
+def bev_tiny_det_map_apollo() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_map_apollo.py — det+map:
+    DLA-34 + SECONDFPNV2, 50×50 BEV, queue 3, 900 det queries, 50×20 map
+    point queries (cfg:74-246)."""
+    return ExperimentConfig(
+        name="bev_tiny_det_map_apollo",
+        model=ModelConfig(
+            bev_h=50, bev_w=50,
+            backbone_type="dla", backbone_out_indices=(3, 4, 5),
+            neck_type="secondfpn",
+            with_map=True,
+        ),
+    )
+
+
+def bev_smoke_det_occ() -> ExperimentConfig:
+    """CI-sized det+occ."""
+    return ExperimentConfig(
+        name="bev_smoke_det_occ",
+        model=ModelConfig(
+            bev_h=8, bev_w=8, num_query=24, embed_dims=32,
+            encoder_layers=1, decoder_layers=2, feedforward_channels=64,
+            num_cams=2, img_shape=(64, 96), queue_length=2,
+            group_detr=2, with_occupancy=True,
+            occ_xdim=32, occ_ydim=32, occ_zdim=4, occ_dims=16,
+        ),
+        data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
+
+
+def bev_smoke_det_map() -> ExperimentConfig:
+    """CI-sized det+map."""
+    return ExperimentConfig(
+        name="bev_smoke_det_map",
+        model=ModelConfig(
+            bev_h=8, bev_w=8, num_query=12, embed_dims=32,
+            encoder_layers=1, decoder_layers=2, feedforward_channels=64,
+            num_cams=2, img_shape=(64, 96), queue_length=2,
+            with_map=True, num_map_vec=5, map_num_pts=4,
+            map_decoder_layers=2,
+        ),
+        data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
 
 
 def bev_smoke_det() -> ExperimentConfig:

@@ -79,7 +79,7 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         gt_labels[b, :k] = rng.integers(0, m.num_classes, k)
         gt_mask[b, :k] = True
 
-    return dict(
+    batch = dict(
         img=img,
         can_bus=can_bus,
         lidar2img=lidar2img,
@@ -88,3 +88,40 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         gt_labels=gt_labels,
         gt_mask=gt_mask,
     )
+
+    if m.with_occupancy:
+        vox = m.occ_zdim * m.occ_xdim * m.occ_ydim
+        # mostly empty (= occupancy_classes), sparse semantic voxels
+        occ = np.full((B, vox), m.occupancy_classes, np.int32)
+        n_occ = vox // 20
+        for b in range(B):
+            idx = rng.choice(vox, n_occ, replace=False)
+            occ[b, idx] = rng.integers(0, m.occupancy_classes, n_occ)
+        batch["gt_occupancy"] = occ
+
+    if m.with_map:
+        from apollo_vision_net_tpu.data.vector_map import pack_map_gt
+
+        # Hungarian matching needs GT rows <= query columns
+        max_vec = min(d.max_gt_boxes, m.num_map_vec)
+        packed = []
+        for b in range(B):
+            n_vec = int(rng.integers(1, 5))
+            vecs, labels = [], []
+            for _ in range(n_vec):
+                pts = np.cumsum(rng.uniform(-2, 2, (m.map_num_pts, 2)),
+                                axis=0).astype(np.float32)
+                pts -= pts.mean(0)
+                vecs.append(pts)
+                labels.append(int(rng.integers(0, m.map_num_classes)))
+            packed.append(pack_map_gt(
+                vecs, labels, max_vec=max_vec, fixed_num=m.map_num_pts,
+                pattern=m.map_shift_pattern,
+                patch_size=m.map_patch_size, seed=seed + b,
+            ))
+        batch["map_shift_pts"] = np.stack([p["shift_pts"] for p in packed])
+        batch["map_labels"] = np.stack([p["labels"] for p in packed])
+        batch["map_mask"] = np.stack([p["mask"] for p in packed])
+        batch["map_order_mask"] = np.stack([p["order_mask"] for p in packed])
+
+    return batch

@@ -91,51 +91,70 @@ def _match_single(
 
 
 def det_loss(
-    all_cls_scores: jnp.ndarray,  # (Lyr, B, Q, C)
+    all_cls_scores: jnp.ndarray,  # (Lyr, B, Q, C); Q = num_groups·q
     all_bbox_preds: jnp.ndarray,  # (Lyr, B, Q, 10) in meters for xyz
     gt: DetGT,
     *,
     num_classes: int = 10,
+    num_groups: int = 1,
     cls_loss_weight: float = 2.0,
     bbox_loss_weight: float = 0.25,
     cls_cost_weight: float = 2.0,
     reg_cost_weight: float = 0.25,
     code_weights: Sequence[float] = DEFAULT_CODE_WEIGHTS,
 ) -> Dict[str, jnp.ndarray]:
-    """Full multi-layer detection loss (reference `loss`, :430-519)."""
+    """Full multi-layer detection loss (reference `loss`, :430-519).
+
+    Group-DETR: with num_groups>1 the query axis holds G contiguous groups;
+    each group is matched against the full GT independently (inner vmap) and
+    the shared normalizer scales by G — numerically identical to the
+    reference's per-group loop averaged by group_detr
+    (occupancy_head_apollo.py:625-647). The group axis is deliberately NOT
+    folded into the batch axis: batch is dp-sharded under pjit, and a
+    sharded-dim reshape would force an all-to-all.
+    """
     n_layers, B, Q, C = all_cls_scores.shape
+    G = num_groups
+    q = Q // G
     code_w = jnp.asarray(code_weights, jnp.float32)
-    gt_norm = normalize_bbox(gt.boxes)  # (B, G, 10)
+    gt_norm = normalize_bbox(gt.boxes)  # (B, V, 10)
     # padded rows could contain log(0); sanitize (they are masked everywhere)
     gt_norm = jnp.where(
         gt.mask[..., None], jnp.nan_to_num(gt_norm, posinf=0.0, neginf=0.0), 0.0
     )
-    num_pos = jnp.maximum(gt.mask.sum().astype(jnp.float32), 1.0)
+    num_pos = jnp.maximum(gt.mask.sum().astype(jnp.float32), 1.0) * G
+
+    def match_groups(cls_b, box_b, gn, gl, gm):
+        # cls_b (G, q, C): every group matched against the same GT
+        return jax.vmap(
+            lambda c, b: _match_single(c, b, gn, gl, gm, cls_cost_weight,
+                                       reg_cost_weight)
+        )(cls_b, box_b)  # (G, V)
 
     losses = {}
     total = 0.0
     for lyr in range(n_layers):
-        cls_l = all_cls_scores[lyr]
-        box_l = all_bbox_preds[lyr]
-        assigned_q = jax.vmap(
-            lambda c, b, gn, gl, gm: _match_single(
-                c, b, gn, gl, gm, cls_cost_weight, reg_cost_weight)
-        )(cls_l, box_l, gt_norm, gt.labels, gt.mask)  # (B, G)
+        cls_l = all_cls_scores[lyr].reshape(B, G, q, C)
+        box_l = all_bbox_preds[lyr].reshape(B, G, q, -1)
+        assigned_q = jax.vmap(match_groups)(
+            cls_l, box_l, gt_norm, gt.labels, gt.mask
+        )  # (B, G, V)
 
         def scatter_targets(aq, gl, gm, gn):
-            labels = jnp.full((Q,), num_classes, jnp.int32)
+            labels = jnp.full((q,), num_classes, jnp.int32)
             labels = labels.at[aq].set(
                 jnp.where(gm, gl, num_classes).astype(jnp.int32)
             )
-            btgt = jnp.zeros((Q, gn.shape[-1]), jnp.float32).at[aq].set(
+            btgt = jnp.zeros((q, gn.shape[-1]), jnp.float32).at[aq].set(
                 jnp.where(gm[:, None], gn, 0.0)
             )
-            bw = jnp.zeros((Q,), jnp.float32).at[aq].set(gm.astype(jnp.float32))
+            bw = jnp.zeros((q,), jnp.float32).at[aq].set(gm.astype(jnp.float32))
             return labels, btgt, bw
 
-        labels, bbox_targets, bbox_w = jax.vmap(scatter_targets)(
-            assigned_q, gt.labels, gt.mask, gt_norm
-        )
+        labels, bbox_targets, bbox_w = jax.vmap(
+            lambda aqs, gl, gm, gn: jax.vmap(
+                lambda aq: scatter_targets(aq, gl, gm, gn))(aqs)
+        )(assigned_q, gt.labels, gt.mask, gt_norm)  # (B, G, q[, ...])
 
         cls_avg = jnp.maximum(num_pos, 1.0)  # bg_cls_weight = 0
         loss_cls = (

@@ -43,19 +43,11 @@ def det_occ_loss(
 ) -> Dict[str, jnp.ndarray]:
     all_cls = outs["all_cls_scores"]
     all_box = outs["all_bbox_preds"]
-    L, B, Qtot, C = all_cls.shape
-    G = group_detr
-    q = Qtot // G
 
-    # --- det: fold groups into batch
-    cls_f = all_cls.reshape(L, B * G, q, C)
-    box_f = all_box.reshape(L, B * G, q, all_box.shape[-1])
-    gt_f = DetGT(
-        boxes=jnp.repeat(gt.boxes, G, axis=0),
-        labels=jnp.repeat(gt.labels, G, axis=0),
-        mask=jnp.repeat(gt.mask, G, axis=0),
-    )
-    losses = det_loss(cls_f, box_f, gt_f, num_classes=num_classes)
+    # det: per-group Hungarian via the group-aware det_loss (the batch axis
+    # stays intact — it is dp-sharded under pjit)
+    losses = det_loss(all_cls, all_box, gt, num_classes=num_classes,
+                      num_groups=group_detr)
     total = losses.pop("loss_total")
 
     # --- occupancy (last decoder layer only)

@@ -20,28 +20,43 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from apollo_vision_net_tpu.models.dla import DLA
 from apollo_vision_net_tpu.models.fpn import FPN
 from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
 from apollo_vision_net_tpu.models.resnet import ResNet
+from apollo_vision_net_tpu.models.second_fpn import SECONDFPNV2
 from apollo_vision_net_tpu.utils.grid_mask import grid_mask
 
 
 class BEVFormer(nn.Module):
     head: BEVFormerHead
+    backbone_type: str = "resnet"  # 'resnet' | 'dla'
     backbone_depth: int = 50
     backbone_out_indices: Sequence[int] = (3,)
+    neck_type: str = "fpn"  # 'fpn' | 'secondfpn'
     neck_num_outs: int = 1
     embed_dims: int = 256
     use_grid_mask: bool = True
     video_test_mode: bool = True
 
     def setup(self):
-        self.img_backbone = ResNet(
-            depth=self.backbone_depth, out_indices=self.backbone_out_indices
-        )
-        self.img_neck = FPN(
-            out_channels=self.embed_dims, num_outs=self.neck_num_outs
-        )
+        if self.backbone_type == "resnet":
+            self.img_backbone = ResNet(
+                depth=self.backbone_depth,
+                out_indices=self.backbone_out_indices,
+            )
+        elif self.backbone_type == "dla":
+            self.img_backbone = DLA(out_indices=self.backbone_out_indices)
+        else:
+            raise ValueError(self.backbone_type)
+        if self.neck_type == "fpn":
+            self.img_neck = FPN(
+                out_channels=self.embed_dims, num_outs=self.neck_num_outs
+            )
+        elif self.neck_type == "secondfpn":
+            self.img_neck = SECONDFPNV2(fuse_channels=self.embed_dims)
+        else:
+            raise ValueError(self.neck_type)
 
     def extract_img_feat(
         self, img: jnp.ndarray, *, deterministic: bool = True

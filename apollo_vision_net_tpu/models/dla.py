@@ -1,0 +1,128 @@
+"""DLA backbone (Deep Layer Aggregation) — Apollo's production det+occ/map
+backbone.
+
+Parity: models/backbones/dla.py:331-428 (DLA-34: levels [1,1,1,2,2,1],
+channels [16,32,64,128,256,512], BasicBlock, hierarchical tree aggregation
+with identity root residuals at levels 3-5), NHWC + FrozenBatchNorm like
+resnet.py. Returns the stride-8/16/32 stages for the neck
+(SECONDFPNV2 consumes dla layers 3,4,5 — models/necks/second_fpnv2.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from apollo_vision_net_tpu.models.resnet import FrozenBatchNorm
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                      padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+        out = FrozenBatchNorm(name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False, name="conv2")(out)
+        out = FrozenBatchNorm(name="bn2")(out)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    out_channels: int
+    residual: bool
+
+    @nn.compact
+    def __call__(self, *children):
+        x = jnp.concatenate(children, axis=-1)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv")(x)
+        x = FrozenBatchNorm(name="bn")(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    levels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=()):
+        children = list(children)
+        bottom = (
+            nn.max_pool(x, (self.stride,) * 2, strides=(self.stride,) * 2)
+            if self.stride > 1 else x
+        )
+        if x.shape[-1] != self.out_channels:
+            proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                           name="project_conv")(bottom)
+            proj = FrozenBatchNorm(name="project_bn")(proj)
+        else:
+            proj = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(self.out_channels, self.stride, name="tree1")(
+                x, residual=proj)
+            x2 = BasicBlock(self.out_channels, 1, name="tree2")(x1)
+            return Root(self.out_channels, self.root_residual, name="root")(
+                x2, x1, *children)
+        x1 = Tree(self.levels - 1, self.out_channels, self.stride,
+                  root_residual=self.root_residual, name="tree1")(x)
+        return Tree(self.levels - 1, self.out_channels, 1,
+                    root_residual=self.root_residual, name="tree2")(
+            x1, children=children + [x1])
+
+
+class DLA(nn.Module):
+    """DLA-34 by default; returns stages at out_indices (stage i stride 2^i,
+    i in 0..5)."""
+
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    out_indices: Sequence[int] = (3, 4, 5)
+    root_residual: bool = False
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        ch = self.channels
+        x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False,
+                    name="base_conv")(x)
+        x = FrozenBatchNorm(name="base_bn")(x)
+        x = nn.relu(x)
+        outs = []
+
+        # level0: conv block
+        y = nn.Conv(ch[0], (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    name="level0_conv")(x)
+        y = nn.relu(FrozenBatchNorm(name="level0_bn")(y))
+        if 0 in self.out_indices:
+            outs.append(y)
+        # level1: strided conv block
+        y = nn.Conv(ch[1], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    use_bias=False, name="level1_conv")(y)
+        y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
+        if 1 in self.out_indices:
+            outs.append(y)
+
+        for i in range(2, 6):
+            y = Tree(
+                self.levels[i], ch[i], stride=2,
+                level_root=(i > 2),
+                root_residual=self.root_residual,
+                name=f"level{i}",
+            )(y)
+            if i in self.out_indices:
+                outs.append(y)
+        return tuple(outs)

@@ -35,6 +35,7 @@ def ms_deform_attn_xla_patch(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    q_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Corner-folded gather variant — the fast XLA path on TPU.
 
@@ -81,16 +82,47 @@ def ms_deform_attn_xla_patch(
         idx = (jnp.clip(y0i, -1, h - 1) + 1) * (w + 2) + (
             jnp.clip(x0i, -1, w - 1) + 1
         )
-        idx_t = idx.transpose(0, 2, 1, 3).reshape(B, H, Q * P)
-        rows = jnp.take_along_axis(patch, idx_t[..., None], axis=2)
-        rows = rows.reshape(B, H, Q, P, 4, D).astype(jnp.float32)
+        idx_t = idx.transpose(0, 2, 1, 3)  # (B, H, Q, P)
         cw = jnp.stack(
             [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy],
             axis=-1,
         )  # (B, Q, H, P, 4)
         wgt = (cw * (attn * inside.astype(jnp.float32))[..., None])
         wgt = wgt.transpose(0, 2, 1, 3, 4)  # (B, H, Q, P, 4)
-        out = out + jnp.einsum("bhqpcd,bhqpc->bhqd", rows, wgt)
+
+        # chunk the query axis so the gathered (B,H,qc,P,4,D) intermediate
+        # stays bounded (~128MB) — XLA would otherwise materialize the full
+        # (B,H,Q,P,4,D) tensor before the reduction
+        target_elems = 32 * 1024 * 1024
+        qc = q_chunk or max(
+            min(Q, target_elems // max(B * H * P * 4 * D, 1)), 1
+        )
+        qc = min(qc, Q)
+        n_chunks = (Q + qc - 1) // qc
+        if n_chunks > 1:
+            pad_q = n_chunks * qc - Q
+            idx_c = jnp.pad(idx_t, [(0, 0), (0, 0), (0, pad_q), (0, 0)])
+            wgt_c = jnp.pad(wgt, [(0, 0), (0, 0), (0, pad_q), (0, 0), (0, 0)])
+            idx_c = idx_c.reshape(B, H, n_chunks, qc, P).transpose(2, 0, 1, 3, 4)
+            wgt_c = wgt_c.reshape(B, H, n_chunks, qc, P, 4).transpose(
+                2, 0, 1, 3, 4, 5)
+
+            def chunk_fn(args):
+                ic, wc = args  # (B,H,qc,P), (B,H,qc,P,4)
+                rows = jnp.take_along_axis(
+                    patch, ic.reshape(B, H, qc * P)[..., None], axis=2
+                ).reshape(B, H, qc, P, 4, D).astype(jnp.float32)
+                return jnp.einsum("bhqpcd,bhqpc->bhqd", rows, wc)
+
+            chunks = jax.lax.map(chunk_fn, (idx_c, wgt_c))  # (n,B,H,qc,D)
+            contrib = chunks.transpose(1, 2, 0, 3, 4).reshape(
+                B, H, n_chunks * qc, D)[:, :, :Q]
+        else:
+            rows = jnp.take_along_axis(
+                patch, idx_t.reshape(B, H, Q * P)[..., None], axis=2
+            ).reshape(B, H, Q, P, 4, D).astype(jnp.float32)
+            contrib = jnp.einsum("bhqpcd,bhqpc->bhqd", rows, wgt)
+        out = out + contrib
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
 

@@ -17,8 +17,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from apollo_vision_net_tpu.configs.base import ExperimentConfig
 from apollo_vision_net_tpu.losses.det_loss import DetGT, det_loss
+from apollo_vision_net_tpu.losses.map_loss import MapGT, map_loss
+from apollo_vision_net_tpu.losses.multitask import det_occ_loss
 from apollo_vision_net_tpu.models.detector import BEVFormer
 from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
+from apollo_vision_net_tpu.models.heads.map_head import BEVFormerDetMapHead
+from apollo_vision_net_tpu.models.heads.occ_head import BEVFormerOccupancyHead
 from apollo_vision_net_tpu.parallel.optim import make_optimizer
 
 
@@ -26,9 +30,9 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def build_model(cfg: ExperimentConfig) -> BEVFormer:
+def build_head(cfg: ExperimentConfig):
     m = cfg.model
-    head = BEVFormerHead(
+    common = dict(
         bev_h=m.bev_h,
         bev_w=m.bev_w,
         num_query=m.num_query,
@@ -49,11 +53,32 @@ def build_model(cfg: ExperimentConfig) -> BEVFormer:
         shift_current_refs=m.shift_current_refs,
         attn_logits_clamp=m.attn_logits_clamp,
         msda_impl=m.msda_impl,
+        group_detr=m.group_detr,
     )
+    if m.with_occupancy:
+        return BEVFormerOccupancyHead(
+            occupancy_classes=m.occupancy_classes,
+            occ_xdim=m.occ_xdim, occ_ydim=m.occ_ydim, occ_zdim=m.occ_zdim,
+            occ_dims=m.occ_dims, occ_head_type=m.occ_head_type,
+            predict_flow=m.predict_flow, **common,
+        )
+    if m.with_map:
+        return BEVFormerDetMapHead(
+            num_map_vec=m.num_map_vec, map_num_pts=m.map_num_pts,
+            map_num_classes=m.map_num_classes,
+            map_decoder_layers=m.map_decoder_layers, **common,
+        )
+    return BEVFormerHead(**common)
+
+
+def build_model(cfg: ExperimentConfig) -> BEVFormer:
+    m = cfg.model
     return BEVFormer(
-        head=head,
+        head=build_head(cfg),
+        backbone_type=m.backbone_type,
         backbone_depth=m.backbone_depth,
         backbone_out_indices=m.backbone_out_indices,
+        neck_type=m.neck_type,
         neck_num_outs=m.num_feature_levels,
         embed_dims=m.embed_dims,
         use_grid_mask=m.use_grid_mask,
@@ -91,8 +116,9 @@ def init_state(
 
 def loss_fn(
     params, apply_fn, batch: Dict[str, Any], rng: jax.Array,
-    num_classes: int,
+    cfg: ExperimentConfig,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    m = cfg.model
     d_rng, g_rng = jax.random.split(rng)
     outs = apply_fn(
         {"params": params},
@@ -101,32 +127,58 @@ def loss_fn(
         rngs={"dropout": d_rng, "grid_mask": g_rng},
     )
     gt = DetGT(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
-    losses = det_loss(
-        outs["all_cls_scores"], outs["all_bbox_preds"], gt,
-        num_classes=num_classes,
-    )
+    if m.with_occupancy:
+        losses = det_occ_loss(
+            outs, gt, batch["gt_occupancy"],
+            occupancy_classes=m.occupancy_classes,
+            group_detr=m.group_detr,
+            num_classes=m.num_classes,
+            occ_loss_type=m.occ_loss_type,
+            occ_grid_hw=(m.occ_xdim, m.occ_ydim),
+            occ_zdim=m.occ_zdim,
+            flow_preds=outs.get("flow_preds"),
+            gt_flow=batch.get("gt_flow"),
+        )
+    else:
+        losses = det_loss(
+            outs["all_cls_scores"], outs["all_bbox_preds"], gt,
+            num_classes=m.num_classes,
+        )
+    if m.with_map:
+        mgt = MapGT(batch["map_shift_pts"], batch["map_labels"],
+                    batch["map_mask"], batch["map_order_mask"])
+        # the reference normalizes map points by the same pc_range as
+        # detection (bev_tiny_det_map_apollo.py:51,233)
+        map_losses = map_loss(
+            outs["map_all_cls_scores"], outs["map_all_pts_preds"], mgt,
+            pc_range=m.pc_range,
+            num_classes=m.map_num_classes,
+        )
+        total = losses.pop("loss_total") + map_losses.pop("loss_map_total")
+        losses.update(map_losses)
+        losses["loss_total"] = total
     return losses["loss_total"], losses
 
 
 def train_step(
     state: TrainState, batch: Dict[str, Any], rng: jax.Array,
-    *, num_classes: int = 10,
+    *, cfg: ExperimentConfig,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     rng = jax.random.fold_in(rng, state.step)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, losses), grads = grad_fn(
-        state.params, state.apply_fn, batch, rng, num_classes
+        state.params, state.apply_fn, batch, rng, cfg
     )
     state = state.apply_gradients(grads=grads)
     return state, losses
 
 
-def make_jitted_train_step(mesh: Mesh, num_classes: int = 10):
+def make_jitted_train_step(mesh: Mesh, cfg: ExperimentConfig):
     """pjit the train step: batch over dp, state replicated, state donated."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("dp"))
     return jax.jit(
-        functools.partial(train_step, num_classes=num_classes),
+        functools.partial(train_step, cfg=cfg),
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
