@@ -28,13 +28,13 @@ def main():
     prev = args[3]
     out = step(args[0], args[1], args[2], prev, args[4])
     jax.block_until_ready(out)
-    prev = out[2]
+    prev = out[-1]
 
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = step(args[0], args[1], args[2], prev, args[4])
-        prev = out[2]
+        prev = out[-1]
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
