@@ -15,7 +15,7 @@ permutations with validity masks; padded vectors get a constant cost row.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Sequence
+from typing import Dict, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -158,5 +158,67 @@ def map_loss(
         losses[f"loss_map_dir{suffix}"] = jnp.nan_to_num(loss_dir)
         total = total + losses[f"loss_map_cls{suffix}"] + \
             losses[f"loss_map_pts{suffix}"] + losses[f"loss_map_dir{suffix}"]
+    losses["loss_map_total"] = total
+    return losses
+
+
+def map_loss_v2(
+    map_all_cls: jnp.ndarray,   # (L, B, NV_o2o + NV_o2m, C)
+    map_all_pts: jnp.ndarray,   # (L, B, NV, P, 2)
+    gt: MapGT,
+    *,
+    pc_range: Sequence[float],
+    num_vec_one2one: int,
+    k_one2many: int = 6,
+    lambda_one2many: float = 1.0,
+    num_classes: int = 3,
+    bev_seg_logits: Optional[jnp.ndarray] = None,   # (B, H, W)
+    gt_bev_seg: Optional[jnp.ndarray] = None,       # (B, H, W) {0,1}
+    pv_seg_logits: Optional[jnp.ndarray] = None,    # (B, N, h, w)
+    gt_pv_seg: Optional[jnp.ndarray] = None,
+    bev_seg_weight: float = 1.0,
+    pv_seg_weight: float = 2.0,
+) -> Dict[str, jnp.ndarray]:
+    """MapTRv2 loss: one2one branch + λ-weighted one2many branch with GT
+    repeated k times, plus auxiliary rasterized-segmentation BCE terms
+    (v2 head :188-217, :622-761)."""
+    o1 = num_vec_one2one
+    losses = map_loss(
+        map_all_cls[:, :, :o1], map_all_pts[:, :, :o1], gt,
+        pc_range=pc_range, num_classes=num_classes,
+    )
+    total = losses.pop("loss_map_total")
+
+    gt_many = MapGT(
+        shift_pts=jnp.tile(gt.shift_pts, (1, k_one2many, 1, 1, 1)),
+        labels=jnp.tile(gt.labels, (1, k_one2many)),
+        mask=jnp.tile(gt.mask, (1, k_one2many)),
+        order_mask=jnp.tile(gt.order_mask, (1, k_one2many, 1)),
+    )
+    many = map_loss(
+        map_all_cls[:, :, o1:], map_all_pts[:, :, o1:], gt_many,
+        pc_range=pc_range, num_classes=num_classes,
+    )
+    many_total = many.pop("loss_map_total")
+    for k, v in many.items():
+        losses[k + "_one2many"] = v * lambda_one2many
+    total = total + lambda_one2many * many_total
+
+    def bce(logits, target):
+        t = target.astype(jnp.float32)
+        return jnp.mean(
+            jnp.maximum(logits, 0) - logits * t
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    if bev_seg_logits is not None and gt_bev_seg is not None:
+        losses["loss_map_bev_seg"] = bev_seg_weight * bce(
+            bev_seg_logits.astype(jnp.float32), gt_bev_seg)
+        total = total + losses["loss_map_bev_seg"]
+    if pv_seg_logits is not None and gt_pv_seg is not None:
+        losses["loss_map_pv_seg"] = pv_seg_weight * bce(
+            pv_seg_logits.astype(jnp.float32), gt_pv_seg)
+        total = total + losses["loss_map_pv_seg"]
+
     losses["loss_map_total"] = total
     return losses
