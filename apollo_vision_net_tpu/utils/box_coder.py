@@ -67,7 +67,7 @@ def nms_free_decode(
       bbox_preds: (num_query, 10) normalized box regression.
     """
     scores_all = jnp.reshape(jax_sigmoid(cls_logits), (-1,))
-    scores, idx = top_k(scores_all, max_num)
+    scores, idx = top_k(scores_all, min(max_num, scores_all.shape[0]))
     labels = (idx % num_classes).astype(jnp.int32)
     box_idx = idx // num_classes
     boxes = denormalize_bbox(bbox_preds[box_idx])

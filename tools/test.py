@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference tools/test.py analog): streaming stateful
+inference over a dataset + det/map/occ evaluators."""
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--data", default="synthetic",
+                   choices=["synthetic", "nuscenes"])
+    p.add_argument("--num-frames", type=int, default=20)
+    p.add_argument("--eval", nargs="+", default=["bbox"],
+                   choices=["bbox", "chamfer", "iou"])
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apollo_vision_net_tpu import configs
+    from apollo_vision_net_tpu.data.synthetic import make_batch
+    from apollo_vision_net_tpu.parallel.train import build_model, init_state
+    from apollo_vision_net_tpu.runtime.checkpoint import CheckpointManager
+    from apollo_vision_net_tpu.runtime.inference import (
+        evaluate_results,
+        run_streaming_eval,
+    )
+
+    cfg = getattr(configs, args.config)()
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, 1, seed=0))
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    if args.checkpoint:
+        state, _ = CheckpointManager(args.checkpoint).restore(state)
+    model = build_model(cfg)
+
+    if args.data == "synthetic":
+        frames = []
+        gt_det = []
+        from apollo_vision_net_tpu.evaluation import formatting
+
+        for i in range(args.num_frames):
+            b = make_batch(cfg, 1, seed=i)
+            frames.append(dict(
+                img=b["img"][0, -1], can_bus=b["can_bus"][0, -1],
+                lidar2img=b["lidar2img"][0, -1],
+                scene_token=f"scene{i // 10}",
+            ))
+            gt_det.append(formatting.gt_to_sample_record(
+                b["gt_boxes"][0], b["gt_labels"][0], b["gt_mask"][0]))
+        results = run_streaming_eval(cfg, model, state.params, frames)
+        metrics = evaluate_results(cfg, results, {"det": gt_det})
+    else:
+        raise NotImplementedError("nuscenes eval requires data on disk")
+
+    print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()},
+                     indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f)
+
+
+if __name__ == "__main__":
+    main()
