@@ -123,6 +123,7 @@ def bev_tiny_det_occ_apollo() -> ExperimentConfig:
             num_query=900 * 11, group_detr=11,
             with_occupancy=True,
         ),
+        compute_dtype="bfloat16",
     )
 
 
@@ -138,6 +139,7 @@ def bev_tiny_det_map_apollo() -> ExperimentConfig:
             neck_type="secondfpn",
             with_map=True,
         ),
+        compute_dtype="bfloat16",
     )
 
 

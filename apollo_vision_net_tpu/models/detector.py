@@ -38,23 +38,33 @@ class BEVFormer(nn.Module):
     embed_dims: int = 256
     use_grid_mask: bool = True
     video_test_mode: bool = True
+    # compute dtype for the conv trunk (backbone+neck). The transformer
+    # stack stays f32: its hot path is the gather/VPU-bound MSDA kernels,
+    # and the reference's fp16 instability lived exactly there (bf16 is the
+    # TPU replacement for the reference's fp16+clamp machinery).
+    compute_dtype: str = "float32"
 
     def setup(self):
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         if self.backbone_type == "resnet":
             self.img_backbone = ResNet(
                 depth=self.backbone_depth,
                 out_indices=self.backbone_out_indices,
+                dtype=dtype,
             )
         elif self.backbone_type == "dla":
-            self.img_backbone = DLA(out_indices=self.backbone_out_indices)
+            self.img_backbone = DLA(
+                out_indices=self.backbone_out_indices, dtype=dtype)
         else:
             raise ValueError(self.backbone_type)
         if self.neck_type == "fpn":
             self.img_neck = FPN(
-                out_channels=self.embed_dims, num_outs=self.neck_num_outs
+                out_channels=self.embed_dims, num_outs=self.neck_num_outs,
+                dtype=dtype,
             )
         elif self.neck_type == "secondfpn":
-            self.img_neck = SECONDFPNV2(fuse_channels=self.embed_dims)
+            self.img_neck = SECONDFPNV2(
+                fuse_channels=self.embed_dims, dtype=dtype)
         else:
             raise ValueError(self.neck_type)
 
@@ -67,8 +77,9 @@ class BEVFormer(nn.Module):
         if self.use_grid_mask and not deterministic:
             x = grid_mask(self.make_rng("grid_mask"), x)
         feats = self.img_neck(self.img_backbone(x))
+        # the transformer stack runs in f32 (see compute_dtype note)
         return tuple(
-            f.reshape((B, N) + f.shape[1:]) for f in feats
+            f.reshape((B, N) + f.shape[1:]).astype(jnp.float32) for f in feats
         )
 
     def obtain_history_bev(

@@ -20,17 +20,19 @@ from apollo_vision_net_tpu.models.resnet import FrozenBatchNorm
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None):
         if residual is None:
             residual = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = FrozenBatchNorm(name="bn2")(out)
         return nn.relu(out + residual)
 
@@ -38,11 +40,13 @@ class BasicBlock(nn.Module):
 class Root(nn.Module):
     out_channels: int
     residual: bool
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, *children):
         x = jnp.concatenate(children, axis=-1)
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv")(x)
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
         x = FrozenBatchNorm(name="bn")(x)
         if self.residual:
             x = x + children[0]
@@ -55,6 +59,7 @@ class Tree(nn.Module):
     stride: int = 1
     level_root: bool = False
     root_residual: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None, children=()):
@@ -65,7 +70,7 @@ class Tree(nn.Module):
         )
         if x.shape[-1] != self.out_channels:
             proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                           name="project_conv")(bottom)
+                           dtype=self.dtype, name="project_conv")(bottom)
             proj = FrozenBatchNorm(name="project_bn")(proj)
         else:
             proj = bottom
@@ -73,15 +78,17 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.out_channels, self.stride, name="tree1")(
+            x1 = BasicBlock(self.out_channels, self.stride, dtype=self.dtype, name="tree1")(
                 x, residual=proj)
-            x2 = BasicBlock(self.out_channels, 1, name="tree2")(x1)
-            return Root(self.out_channels, self.root_residual, name="root")(
+            x2 = BasicBlock(self.out_channels, 1, dtype=self.dtype, name="tree2")(x1)
+            return Root(self.out_channels, self.root_residual, dtype=self.dtype, name="root")(
                 x2, x1, *children)
         x1 = Tree(self.levels - 1, self.out_channels, self.stride,
-                  root_residual=self.root_residual, name="tree1")(x)
+                  root_residual=self.root_residual, dtype=self.dtype,
+                  name="tree1")(x)
         return Tree(self.levels - 1, self.out_channels, 1,
-                    root_residual=self.root_residual, name="tree2")(
+                    root_residual=self.root_residual, dtype=self.dtype,
+                    name="tree2")(
             x1, children=children + [x1])
 
 
@@ -93,25 +100,28 @@ class DLA(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     out_indices: Sequence[int] = (3, 4, 5)
     root_residual: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         ch = self.channels
+        x = x.astype(self.dtype)
         x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False,
-                    name="base_conv")(x)
+                    dtype=self.dtype, name="base_conv")(x)
         x = FrozenBatchNorm(name="base_bn")(x)
         x = nn.relu(x)
         outs = []
 
         # level0: conv block
         y = nn.Conv(ch[0], (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name="level0_conv")(x)
+                    dtype=self.dtype, name="level0_conv")(x)
         y = nn.relu(FrozenBatchNorm(name="level0_bn")(y))
         if 0 in self.out_indices:
             outs.append(y)
         # level1: strided conv block
         y = nn.Conv(ch[1], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False, name="level1_conv")(y)
+                    use_bias=False,
+                    dtype=self.dtype, name="level1_conv")(y)
         y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
         if 1 in self.out_indices:
             outs.append(y)
@@ -121,6 +131,7 @@ class DLA(nn.Module):
                 self.levels[i], ch[i], stride=2,
                 level_root=(i > 2),
                 root_residual=self.root_residual,
+                dtype=self.dtype,
                 name=f"level{i}",
             )(y)
             if i in self.out_indices:

@@ -17,11 +17,12 @@ class FPN(nn.Module):
     out_channels: int = 256
     num_outs: int = 1
     relu_before_extra_convs: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(f)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"lateral_{i}")(f)
             for i, f in enumerate(feats)
         ]
         # top-down pathway (nearest-neighbour upsample, mmdet default)
@@ -34,7 +35,7 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"fpn_conv_{i}")(l)
+                    dtype=self.dtype, name=f"fpn_conv_{i}")(l)
             for i, l in enumerate(laterals)
         ]
         # extra outputs: stride-2 convs on the last output ('on_output')
@@ -44,7 +45,7 @@ class FPN(nn.Module):
                 src = nn.relu(src)
             outs.append(
                 nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)],
+                        padding=[(1, 1), (1, 1)], dtype=self.dtype,
                         name=f"extra_conv_{len(outs)}")(src)
             )
         return tuple(outs)

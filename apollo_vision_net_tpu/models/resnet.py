@@ -38,31 +38,36 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
         inv = scale * jax.lax.rsqrt(var + 1e-5)
-        return x * inv + (bias - mean * inv)
+        # dtype-preserving: keeps the conv trunk in bf16 when enabled
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(name="bn1")(out)
         out = nn.relu(out)
         # pytorch-style: stride on the 3x3
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(out)
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
         out = FrozenBatchNorm(name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
         out = FrozenBatchNorm(name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             identity = FrozenBatchNorm(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -74,12 +79,15 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Sequence[int] = (3,)
     base_width: int = 64
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         blocks = _STAGE_BLOCKS[self.depth]
+        x = x.astype(self.dtype)
         x = nn.Conv(self.base_width, (7, 7), strides=(2, 2),
-                    padding=[(3, 3), (3, 3)], use_bias=False, name="stem_conv")(x)
+                    padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype,
+                    name="stem_conv")(x)
         x = FrozenBatchNorm(name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -93,6 +101,7 @@ class ResNet(nn.Module):
                     planes=planes,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:

@@ -18,6 +18,7 @@ class SECONDFPNV2(nn.Module):
     out_channels: Sequence[int] = (256, 256, 256)
     upsample_strides: Sequence[float] = (0.5, 1.0, 2.0)
     fuse_channels: int = 256
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -28,16 +29,16 @@ class SECONDFPNV2(nn.Module):
         ):
             if s > 1:
                 k = int(s)
-                y = nn.ConvTranspose(oc, (k, k), strides=(k, k),
-                                     use_bias=False, name=f"deblock{i}_up")(f)
+                y = nn.ConvTranspose(oc, (k, k), strides=(k, k), use_bias=False,
+                                     dtype=self.dtype, name=f"deblock{i}_up")(f)
             else:
                 k = int(round(1.0 / s))
                 y = nn.Conv(oc, (k, k), strides=(k, k), use_bias=False,
-                            name=f"deblock{i}_conv")(f)
-            y = nn.GroupNorm(num_groups=32, name=f"deblock{i}_norm")(y)
+                            dtype=self.dtype, name=f"deblock{i}_conv")(f)
+            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"deblock{i}_norm")(y)
             ups.append(nn.relu(y))
         out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
         out = nn.Conv(self.fuse_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                      use_bias=False, name="last_conv")(out)
-        out = nn.relu(nn.GroupNorm(num_groups=32, name="last_norm")(out))
+                      use_bias=False, dtype=self.dtype, name="last_conv")(out)
+        out = nn.relu(nn.GroupNorm(num_groups=32, dtype=self.dtype, name="last_norm")(out))
         return (out,)

@@ -83,6 +83,7 @@ def build_model(cfg: ExperimentConfig) -> BEVFormer:
         embed_dims=m.embed_dims,
         use_grid_mask=m.use_grid_mask,
         video_test_mode=m.video_test_mode,
+        compute_dtype=cfg.compute_dtype,
     )
 
 
