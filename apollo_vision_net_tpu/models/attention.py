@@ -143,6 +143,7 @@ class MSDeformableAttention3D(nn.Module):
         *,
         reference_points: jnp.ndarray,  # (B, Q, D_z, 2) projected pillar pts
         spatial_shapes: Shapes,
+        tile_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         B, Q, C = query.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
@@ -176,12 +177,19 @@ class MSDeformableAttention3D(nn.Module):
             reference_points[:, :, None, None, None, :, :] + offsets
         ).reshape(B, Q, H, L, P, 2)
 
-        out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
+        out = ms_deform_attn(v, spatial_shapes, locations, attn,
+                             impl=self.msda_impl, tile_mask=tile_mask)
         return out  # (B, Q, C) — caller owns masking/projection
 
 
 class SpatialCrossAttention(nn.Module):
-    """Image→BEV cross attention, dense-masked over cameras."""
+    """Image→BEV cross attention, dense-masked over cameras.
+
+    With `bev_hw` set, queries are reordered into spatially-compact blocks
+    and a per-(camera, query-tile) visibility mask lets the Pallas kernel
+    skip invisible tiles — recovering the reference's per-camera rebatching
+    savings (spatial_cross_attention.py:136-165) with static shapes.
+    """
 
     embed_dims: int = 256
     num_cams: int = 6
@@ -190,6 +198,8 @@ class SpatialCrossAttention(nn.Module):
     num_points: int = 8
     dropout: float = 0.1
     msda_impl: str = "auto"
+    bev_hw: Optional[Tuple[int, int]] = None
+    q_tile: int = 128
 
     @nn.compact
     def __call__(
@@ -209,6 +219,29 @@ class SpatialCrossAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
+        ref_cam = reference_points_cam
+        hit = jnp.any(bev_mask, axis=-1)  # (N, B, Q)
+        inv_perm = None
+        tile_mask = None
+        if self.bev_hw is not None and self.msda_impl in ("auto", "pallas"):
+            from apollo_vision_net_tpu.utils.geometry import (
+                spatial_block_order,
+            )
+
+            perm, inv_perm = spatial_block_order(*self.bev_hw)
+            perm = jnp.asarray(perm)
+            inv_perm = jnp.asarray(inv_perm)
+            query = query[:, perm]
+            ref_cam = ref_cam[:, :, perm]
+            hit = hit[:, :, perm]
+            QT = self.q_tile
+            Qp = (Q + QT - 1) // QT * QT
+            hit_pad = jnp.pad(
+                hit.transpose(1, 0, 2).reshape(B * N, Q),
+                [(0, 0), (0, Qp - Q)],
+            )
+            tile_mask = hit_pad.reshape(B * N, Qp // QT, QT).any(-1)
+
         inner = MSDeformableAttention3D(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
@@ -221,18 +254,19 @@ class SpatialCrossAttention(nn.Module):
         # reference's rebatching only skips no-hit queries — same math).
         q_cam = jnp.broadcast_to(query[:, None], (B, N, Q, C)).reshape(B * N, Q, C)
         v_cam = value.reshape(B * N, value.shape[2], C)
-        ref = reference_points_cam.transpose(1, 0, 2, 3, 4).reshape(
-            B * N, Q, reference_points_cam.shape[3], 2
+        ref = ref_cam.transpose(1, 0, 2, 3, 4).reshape(
+            B * N, Q, ref_cam.shape[3], 2
         )
         out = inner(q_cam, v_cam, reference_points=ref,
-                    spatial_shapes=spatial_shapes)
+                    spatial_shapes=spatial_shapes, tile_mask=tile_mask)
         out = out.reshape(B, N, Q, C)
 
-        hit = jnp.any(bev_mask, axis=-1)            # (N, B, Q)
-        hit = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)
-        out = (out * hit[..., None]).sum(axis=1)
-        count = jnp.clip(hit.sum(axis=1), 1.0, None)
+        hitf = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)
+        out = (out * hitf[..., None]).sum(axis=1)
+        count = jnp.clip(hitf.sum(axis=1), 1.0, None)
         out = out / count[..., None]
+        if inv_perm is not None:
+            out = out[:, inv_perm]
 
         out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

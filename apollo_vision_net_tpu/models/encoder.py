@@ -41,6 +41,7 @@ class BEVFormerLayer(nn.Module):
     ffn_dropout: float = 0.1
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
+    bev_hw: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(
@@ -80,6 +81,7 @@ class BEVFormerLayer(nn.Module):
             num_levels=self.num_levels,
             num_points=self.num_points_sca,
             msda_impl=self.msda_impl,
+            bev_hw=self.bev_hw,
             name="sca",
         )(
             q, img_value,
@@ -160,6 +162,7 @@ class BEVFormerEncoder(nn.Module):
                 ffn_dropout=self.ffn_dropout,
                 attn_logits_clamp=self.attn_logits_clamp,
                 msda_impl=self.msda_impl,
+                bev_hw=(bev_h, bev_w),
                 name=f"layer{lid}",
             )(
                 q, img_value,

@@ -188,10 +188,17 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
     *,
     impl: str = "auto",
+    tile_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}."""
+    """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}.
+
+    tile_mask (B, ceil(Q/128)) lets the Pallas kernel skip (batch,
+    query-tile) programs entirely — callers must mask skipped outputs. The
+    XLA paths ignore it (they compute everything; downstream masking makes
+    the results identical).
+    """
     if impl == "xla":
-        return ms_deform_attn_xla(
+        return ms_deform_attn_xla_patch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     if impl in ("auto", "pallas"):
@@ -205,9 +212,16 @@ def ms_deform_attn(
             )
         ):
             return msda_pallas.ms_deform_attn_pallas(
+                value, spatial_shapes, sampling_locations, attention_weights,
+                tile_mask,
+            )
+        return (
+            ms_deform_attn_xla_patch(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
-        return ms_deform_attn_xla(
-            value, spatial_shapes, sampling_locations, attention_weights
+            if on_tpu
+            else ms_deform_attn_xla(
+                value, spatial_shapes, sampling_locations, attention_weights
+            )
         )
     raise ValueError(f"unknown impl {impl!r}")

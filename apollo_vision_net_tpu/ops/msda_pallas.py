@@ -122,9 +122,35 @@ def _msda_kernel_v2(
     out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
+def _msda_kernel_v2_masked(
+    tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
+    patch_ref, loc_ref, attn_ref, out_ref,
+    *, spatial_shapes, num_points, head_dim,
+):
+    """Camera-tile skipping variant: programs whose (batch, query-tile) has
+    no visible query write zeros and skip the sampling entirely — the
+    TPU-native equivalent of the reference SCA's per-camera query rebatching
+    (spatial_cross_attention.py:136-165)."""
+    b = pl.program_id(0)
+    q = pl.program_id(2)
+    active = tile_mask_ref[b, q] > 0
+
+    @pl.when(active)
+    def _():
+        _msda_kernel_v2(
+            patch_ref, loc_ref, attn_ref, out_ref,
+            spatial_shapes=spatial_shapes, num_points=num_points,
+            head_dim=head_dim,
+        )
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
+
+
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
-    interpret=False, q_tile=128,
+    interpret=False, q_tile=128, tile_mask=None,
 ):
     B, V, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -139,33 +165,67 @@ def _msda_pallas_fwd_impl(
     patches = _build_patches(value, spatial_shapes)  # (B, Vp, H, 4D)
     patches = patches.transpose(0, 2, 1, 3)          # (B, H, Vp, 4D)
     Vp = patches.shape[2]
-    kernel = functools.partial(
-        _msda_kernel_v2,
-        spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
-        num_points=P,
-        head_dim=D,
+    shapes_t = tuple(tuple(s) for s in spatial_shapes)
+    cost = pl.CostEstimate(
+        flops=2 * B * Qp * H * L * P * (Vp // max(L, 1)) * 4 * D,
+        bytes_accessed=B * (Vp * H * 4 * D * 4 + Qp * H * L * P * 6 * 4),
+        transcendentals=0,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, H, Qp // QT),
-        in_specs=[
-            pl.BlockSpec((1, 1, Vp, 4 * D), lambda b, h, q: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QT, L * P * 2), lambda b, h, q: (b, h, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, QT, L * P), lambda b, h, q: (b, h, q, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, QT, D), lambda b, h, q: (b, h, q, 0),
-                               memory_space=pltpu.VMEM),
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * Qp * H * L * P * (Vp // max(L, 1)) * 4 * D,
-            bytes_accessed=B * (Vp * H * 4 * D * 4 + Qp * H * L * P * 6 * 4),
-            transcendentals=0,
-        ),
-    )(patches, loc, attn)
+        cost_estimate=cost,
+    )
+    if tile_mask is not None:
+        n_tiles = Qp // QT
+        tm = tile_mask.astype(jnp.int32)
+        assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
+        kernel = functools.partial(
+            _msda_kernel_v2_masked,
+            spatial_shapes=shapes_t, num_points=P, head_dim=D,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, Vp, 4 * D),
+                             lambda b, h, q, m: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P * 2),
+                             lambda b, h, q, m: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P),
+                             lambda b, h, q, m: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, QT, D),
+                                   lambda b, h, q, m: (b, h, q, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, **common
+        )(tm, patches, loc, attn)
+    else:
+        kernel = functools.partial(
+            _msda_kernel_v2,
+            spatial_shapes=shapes_t, num_points=P, head_dim=D,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, H, Qp // QT),
+            in_specs=[
+                pl.BlockSpec((1, 1, Vp, 4 * D), lambda b, h, q: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P * 2),
+                             lambda b, h, q: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P), lambda b, h, q: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, QT, D), lambda b, h, q: (b, h, q, 0),
+                                   memory_space=pltpu.VMEM),
+            **common,
+        )(patches, loc, attn)
     # (B, H, Qp, D) -> (B, Q, H*D)
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
@@ -176,28 +236,35 @@ def ms_deform_attn_pallas(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations,
     attention_weights,
+    tile_mask=None,
 ):
     return _msda_pallas_fwd_impl(
-        value, spatial_shapes, sampling_locations, attention_weights
+        value, spatial_shapes, sampling_locations, attention_weights,
+        tile_mask=tile_mask,
     )
 
 
-def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
+         tile_mask):
     out = _msda_pallas_fwd_impl(
-        value, spatial_shapes, sampling_locations, attention_weights
+        value, spatial_shapes, sampling_locations, attention_weights,
+        tile_mask=tile_mask,
     )
-    return out, (value, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights, tile_mask)
 
 
 def _bwd(spatial_shapes, residuals, g):
+    # Backward uses the unmasked XLA VJP: skipped tiles only exist where the
+    # caller zeroes the output (and hence the cotangent) anyway.
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
 
-    value, sampling_locations, attention_weights = residuals
+    value, sampling_locations, attention_weights, tile_mask = residuals
     _, vjp = jax.vjp(
         lambda v, s, a: ms_deform_attn_xla(v, spatial_shapes, s, a),
         value, sampling_locations, attention_weights,
     )
-    return vjp(g)
+    dv, ds, da = vjp(g)
+    return dv, ds, da, None
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

@@ -90,6 +90,25 @@ def point_sampling(
     return ref_cam.transpose(0, 2, 1, 3), mask.transpose(0, 2, 1)
 
 
+def spatial_block_order(h: int, w: int, bh: int = 8, bw: int = 16
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Permutation reordering a row-major (h, w) grid into (bh, bw) blocks
+    scanned block-row-major. Makes consecutive query tiles spatially
+    compact, so per-(camera, tile) visibility masks actually skip work.
+
+    Returns (perm, inv_perm), each (h*w,) int32 with
+    ``flat_blocked = flat_rowmajor[perm]``.
+    """
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    key = (
+        (ys // bh) * ((w + bw - 1) // bw) + (xs // bw)
+    ) * (bh * bw) + (ys % bh) * bw + (xs % bw)
+    perm = np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    return perm, inv
+
+
 def bev_shift_from_can_bus(
     can_bus: jnp.ndarray,
     grid_length: Tuple[float, float],
