@@ -107,11 +107,24 @@ def preprocess_frame(
     training: bool = False,
     rng: Optional[np.random.Generator] = None,
     size_divisor: int = 32,
+    mean: np.ndarray = IMG_MEAN,
+    std: np.ndarray = IMG_STD,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full train/test pipeline for one frame's camera ring."""
+    if not training and imgs_u8.dtype == np.uint8:
+        # eval path: fused native resize+normalize+pad (csrc/host_ops.cpp)
+        from apollo_vision_net_tpu.data import native
+
+        out = native.resize_normalize_pad(
+            imgs_u8, scale, np.asarray(mean, np.float32),
+            np.asarray(std, np.float32), size_divisor)
+        if out is not None:
+            scale_mat = np.eye(4, dtype=lidar2img.dtype)
+            scale_mat[0, 0] = scale_mat[1, 1] = scale
+            return out, scale_mat @ lidar2img
     imgs = imgs_u8.astype(np.float32)
     if training:
         imgs = photometric_distortion(imgs, rng or np.random.default_rng())
-    imgs = normalize_images(imgs)
+    imgs = normalize_images(imgs, mean, std)
     imgs, lidar2img = scale_images(imgs, lidar2img, scale)
     return pad_images(imgs, size_divisor), lidar2img
