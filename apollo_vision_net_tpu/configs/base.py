@@ -64,6 +64,18 @@ class ModelConfig:
     map_num_classes: int = 3
     map_decoder_layers: int = 6
     map_shift_pattern: str = "v2"
+    # MapTRv2 (one2one/one2many)
+    map_version: int = 1
+    num_vec_one2many: int = 300
+    map_k_one2many: int = 6
+    map_lambda_one2many: float = 1.0
+    with_aux_seg: bool = False
+    # voxel / hybrid trunks
+    head_family: str = "bev"  # 'bev' | 'voxel' | 'hybrid'
+    bev_z: int = 4
+    num_points_in_voxel: int = 1
+    hybrid_encoder_embed_dims: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    hybrid_feature_map_z: Tuple[int, ...] = (1, 2, 4, 8, 16)
 
     @property
     def map_patch_size(self) -> Tuple[float, float]:
@@ -186,5 +198,128 @@ def bev_smoke_det() -> ExperimentConfig:
             num_cams=2, img_shape=(64, 96), queue_length=2,
         ),
         data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
+
+
+def bev_tiny_det_mapv2() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_mapv2.py — det + MapTRv2:
+    o2o 50 + o2m 300 (k=6), decoupled decoder, aux BEV/PV seg."""
+    return ExperimentConfig(
+        name="bev_tiny_det_mapv2",
+        model=ModelConfig(
+            bev_h=50, bev_w=50,
+            backbone_type="dla", backbone_out_indices=(3, 4, 5),
+            neck_type="secondfpn",
+            with_map=True, map_version=2, map_num_classes=4,
+            with_aux_seg=True,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def voxel_tiny_occ() -> ExperimentConfig:
+    """projects/configs/voxelformer/voxel_tiny_occ.py — VoxelFormer with
+    bev_z=4 voxel queries, R50, det+occ."""
+    return ExperimentConfig(
+        name="voxel_tiny_occ",
+        model=ModelConfig(
+            bev_h=50, bev_w=50, bev_z=4, head_family="voxel",
+            with_occupancy=True, occ_dims=64,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def hybrid_tiny_occ() -> ExperimentConfig:
+    """projects/configs/hybrid/hybrid_tiny_occ.py — OccNet cascade encoder
+    dims [256,128,64,32,16], z [1,2,4,8,16]."""
+    return ExperimentConfig(
+        name="hybrid_tiny_occ",
+        model=ModelConfig(
+            bev_h=50, bev_w=50, head_family="hybrid",
+            with_occupancy=True, occ_dims=16,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def bev_base_occ() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_base_occ.py — R101 tier (R50 stands in
+    until DCN-R101 lands), 200×200 BEV, occ-only grid at 0.5 m."""
+    return ExperimentConfig(
+        name="bev_base_occ",
+        model=ModelConfig(
+            bev_h=200, bev_w=200, backbone_depth=101,
+            encoder_layers=6, with_occupancy=True,
+            occ_head_type="mlp", occ_xdim=200, occ_ydim=200,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def semantic_kitti_occ() -> ExperimentConfig:
+    """semantic_kitti SSC: 19+empty classes over [0,-25.6,-2,51.2,25.6,4.4]
+    @0.2 m (semantic_kitti/kitti_dataset.py:25-45)."""
+    return ExperimentConfig(
+        name="semantic_kitti_occ",
+        model=ModelConfig(
+            bev_h=128, bev_w=128, num_cams=1,
+            pc_range=(0.0, -25.6, -2.0, 51.2, 25.6, 4.4),
+            with_occupancy=True, occupancy_classes=20,
+            occ_xdim=256, occ_ydim=256, occ_zdim=32,
+            occ_loss_type="ce_loss",
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def smoke_voxel_occ() -> ExperimentConfig:
+    """CI-sized VoxelFormer det+occ."""
+    return ExperimentConfig(
+        name="smoke_voxel_occ",
+        model=ModelConfig(
+            bev_h=6, bev_w=6, bev_z=2, head_family="voxel", num_query=12,
+            embed_dims=32, encoder_layers=1, decoder_layers=2,
+            feedforward_channels=64, num_cams=2, img_shape=(64, 96),
+            queue_length=2, with_occupancy=True,
+            occ_xdim=12, occ_ydim=12, occ_zdim=4, occ_dims=16,
+        ),
+        data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
+
+
+def smoke_hybrid_occ() -> ExperimentConfig:
+    """CI-sized HybridFormer det+occ."""
+    return ExperimentConfig(
+        name="smoke_hybrid_occ",
+        model=ModelConfig(
+            bev_h=6, bev_w=6, head_family="hybrid", num_query=12,
+            embed_dims=32, decoder_layers=2, feedforward_channels=64,
+            num_cams=2, img_shape=(64, 96), queue_length=2,
+            hybrid_encoder_embed_dims=(32, 16, 8),
+            hybrid_feature_map_z=(1, 2, 4),
+            with_occupancy=True,
+            occ_xdim=12, occ_ydim=12, occ_zdim=4, occ_dims=8,
+        ),
+        data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
+
+
+def smoke_det_mapv2() -> ExperimentConfig:
+    """CI-sized det + MapTRv2."""
+    return ExperimentConfig(
+        name="smoke_det_mapv2",
+        model=ModelConfig(
+            bev_h=8, bev_w=8, num_query=12, embed_dims=32,
+            encoder_layers=1, decoder_layers=2, feedforward_channels=64,
+            num_cams=2, img_shape=(64, 96), queue_length=2,
+            with_map=True, map_version=2, num_map_vec=4,
+            num_vec_one2many=8, map_k_one2many=2, map_num_pts=4,
+            map_decoder_layers=2, with_aux_seg=True,
+        ),
+        data=DataConfig(max_gt_boxes=4),
         optim=OptimConfig(warmup_iters=2, total_steps=100),
     )

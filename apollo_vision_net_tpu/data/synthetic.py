@@ -123,5 +123,11 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         batch["map_labels"] = np.stack([p["labels"] for p in packed])
         batch["map_mask"] = np.stack([p["mask"] for p in packed])
         batch["map_order_mask"] = np.stack([p["order_mask"] for p in packed])
+        if m.with_aux_seg:
+            batch["gt_bev_seg"] = rng.integers(
+                0, 2, (B, m.bev_h, m.bev_w)).astype(np.float32)
+            fh, fw = H // 16, W // 16  # finest neck level (stride 16)
+            batch["gt_pv_seg"] = rng.integers(
+                0, 2, (B, N, fh, fw)).astype(np.float32)
 
     return batch

@@ -216,6 +216,11 @@ def map_loss_v2(
             bev_seg_logits.astype(jnp.float32), gt_bev_seg)
         total = total + losses["loss_map_bev_seg"]
     if pv_seg_logits is not None and gt_pv_seg is not None:
+        if gt_pv_seg.shape != pv_seg_logits.shape:
+            # rasterized GT may be at a different stride; nearest-resize
+            gt_pv_seg = jax.image.resize(
+                gt_pv_seg.astype(jnp.float32), pv_seg_logits.shape,
+                method="nearest")
         losses["loss_map_pv_seg"] = pv_seg_weight * bce(
             pv_seg_logits.astype(jnp.float32), gt_pv_seg)
         total = total + losses["loss_map_pv_seg"]

@@ -68,6 +68,17 @@ class BEVFormer(nn.Module):
         else:
             raise ValueError(self.neck_type)
 
+    @property
+    def prev_tokens(self) -> int:
+        """Token count of the temporal carry — head-family dependent
+        (voxel: z·h·w; hybrid: all stage volumes concatenated)."""
+        h = self.head
+        if hasattr(h, "carry_width"):
+            return h.carry_width
+        if hasattr(h, "bev_z"):
+            return h.bev_z * h.bev_h * h.bev_w
+        return h.bev_h * h.bev_w
+
     def extract_img_feat(
         self, img: jnp.ndarray, *, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, ...]:
@@ -91,8 +102,8 @@ class BEVFormer(nn.Module):
     ) -> jnp.ndarray:
         """No-grad replay of the T-1 history frames (reference :260-276)."""
         B, Tm1 = imgs_queue.shape[:2]
-        Q = self.head.bev_h * self.head.bev_w
-        prev_bev = jnp.zeros((B, Q, self.embed_dims), imgs_queue.dtype)
+        Q = self.prev_tokens
+        prev_bev = jnp.zeros((B, Q, self.embed_dims), jnp.float32)
         for t in range(Tm1):
             feats = self.extract_img_feat(imgs_queue[:, t], deterministic=True)
             # per-frame prev_bev_exists flag (handles mid-queue scene change,
@@ -129,8 +140,8 @@ class BEVFormer(nn.Module):
             cur_has_prev = has_prev[:, -1]
         else:
             B = img.shape[0]
-            Q = self.head.bev_h * self.head.bev_w
-            prev_bev = jnp.zeros((B, Q, self.embed_dims), img.dtype)
+            Q = self.prev_tokens
+            prev_bev = jnp.zeros((B, Q, self.embed_dims), jnp.float32)
             cur_has_prev = has_prev[:, 0]
         feats = self.extract_img_feat(img[:, -1], deterministic=deterministic)
         return self.head(

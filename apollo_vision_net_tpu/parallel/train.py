@@ -55,12 +55,44 @@ def build_head(cfg: ExperimentConfig):
         msda_impl=m.msda_impl,
         group_detr=m.group_detr,
     )
+    occ_kw = dict(
+        occupancy_classes=m.occupancy_classes,
+        occ_xdim=m.occ_xdim, occ_ydim=m.occ_ydim, occ_zdim=m.occ_zdim,
+        occ_dims=m.occ_dims,
+    )
+    if m.head_family == "voxel":
+        from apollo_vision_net_tpu.models.voxel import VoxelFormerOccupancyHead
+
+        return VoxelFormerOccupancyHead(
+            bev_z=m.bev_z, num_points_in_voxel=m.num_points_in_voxel,
+            **occ_kw, **common,
+        )
+    if m.head_family == "hybrid":
+        from apollo_vision_net_tpu.models.hybrid import (
+            HybridFormerOccupancyHead,
+        )
+
+        return HybridFormerOccupancyHead(
+            encoder_embed_dims=m.hybrid_encoder_embed_dims,
+            feature_map_z=m.hybrid_feature_map_z,
+            **occ_kw, **common,
+        )
     if m.with_occupancy:
         return BEVFormerOccupancyHead(
-            occupancy_classes=m.occupancy_classes,
-            occ_xdim=m.occ_xdim, occ_ydim=m.occ_ydim, occ_zdim=m.occ_zdim,
-            occ_dims=m.occ_dims, occ_head_type=m.occ_head_type,
-            predict_flow=m.predict_flow, **common,
+            occ_head_type=m.occ_head_type,
+            predict_flow=m.predict_flow, **occ_kw, **common,
+        )
+    if m.with_map and m.map_version == 2:
+        from apollo_vision_net_tpu.models.heads.map_head_v2 import (
+            BEVFormerDetMapHeadV2,
+        )
+
+        return BEVFormerDetMapHeadV2(
+            num_vec_one2one=m.num_map_vec,
+            num_vec_one2many=m.num_vec_one2many,
+            map_num_pts=m.map_num_pts, map_num_classes=m.map_num_classes,
+            map_decoder_layers=m.map_decoder_layers,
+            with_aux_seg=m.with_aux_seg, **common,
         )
     if m.with_map:
         return BEVFormerDetMapHead(
@@ -150,11 +182,27 @@ def loss_fn(
                     batch["map_mask"], batch["map_order_mask"])
         # the reference normalizes map points by the same pc_range as
         # detection (bev_tiny_det_map_apollo.py:51,233)
-        map_losses = map_loss(
-            outs["map_all_cls_scores"], outs["map_all_pts_preds"], mgt,
-            pc_range=m.pc_range,
-            num_classes=m.map_num_classes,
-        )
+        if m.map_version == 2:
+            from apollo_vision_net_tpu.losses.map_loss import map_loss_v2
+
+            map_losses = map_loss_v2(
+                outs["map_all_cls_scores"], outs["map_all_pts_preds"], mgt,
+                pc_range=m.pc_range,
+                num_vec_one2one=m.num_map_vec,
+                k_one2many=m.map_k_one2many,
+                lambda_one2many=m.map_lambda_one2many,
+                num_classes=m.map_num_classes,
+                bev_seg_logits=outs.get("bev_seg_logits"),
+                gt_bev_seg=batch.get("gt_bev_seg"),
+                pv_seg_logits=outs.get("pv_seg_logits"),
+                gt_pv_seg=batch.get("gt_pv_seg"),
+            )
+        else:
+            map_losses = map_loss(
+                outs["map_all_cls_scores"], outs["map_all_pts_preds"], mgt,
+                pc_range=m.pc_range,
+                num_classes=m.map_num_classes,
+            )
         total = losses.pop("loss_total") + map_losses.pop("loss_map_total")
         losses.update(map_losses)
         losses["loss_total"] = total
