@@ -69,89 +69,83 @@ def _build_patches(value, spatial_shapes):
 
 
 def _msda_kernel_v2(
-    patch_ref,  # (1, Vp, H*4D)
-    loc_ref,    # (1, QT, H*L*P*2)   layout (h, l, p, xy)
-    attn_ref,   # (1, QT, H*L*P)
-    out_ref,    # (1, QT, H*D)
+    patch_ref,  # (1, 1, Vp, 4D)     — this head's patch block
+    loc_ref,    # (1, 1, QT, L*P*2)
+    attn_ref,   # (1, 1, QT, L*P)
+    out_ref,    # (1, 1, QT, D)
     *,
     spatial_shapes: Tuple[Tuple[int, int], ...],
-    num_heads: int,
     num_points: int,
     head_dim: int,
 ):
-    QT = loc_ref.shape[1]
+    QT = loc_ref.shape[2]
     L = len(spatial_shapes)
     P = num_points
     D = head_dim
-    H = num_heads
     pstarts = np.concatenate([[0], np.cumsum(_padded_sizes(spatial_shapes))])
-    for head in range(H):
-        acc = jnp.zeros((QT, D), dtype=jnp.float32)
-        for lvl, (h, w) in enumerate(spatial_shapes):
-            size = int(pstarts[lvl + 1] - pstarts[lvl])
-            col = jax.lax.broadcasted_iota(jnp.int32, (QT, size), 1)
-            patch = patch_ref[
-                0, pstarts[lvl]:pstarts[lvl + 1],
-                head * 4 * D:(head + 1) * 4 * D,
-            ]
-            for p in range(P):
-                flat = (head * L + lvl) * P + p
-                px = loc_ref[0, :, 2 * flat:2 * flat + 1].astype(jnp.float32) * w - 0.5
-                py = loc_ref[0, :, 2 * flat + 1:2 * flat + 2].astype(jnp.float32) * h - 0.5
-                aw = attn_ref[0, :, flat:flat + 1].astype(jnp.float32)
-                x0 = jnp.floor(px)
-                y0 = jnp.floor(py)
-                fx = px - x0
-                fy = py - y0
-                x0 = x0.astype(jnp.int32)
-                y0 = y0.astype(jnp.int32)
-                inside = (
-                    (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
-                ).astype(jnp.float32)
-                idx = (jnp.clip(y0, -1, h - 1) + 1) * (w + 2) + (
-                    jnp.clip(x0, -1, w - 1) + 1
-                )
-                mask = (col == idx).astype(jnp.float32)  # one cmp per lane
-                rows = jnp.dot(
-                    mask, patch.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (QT, 4D)
-                s = aw * inside
-                acc = (
-                    acc
-                    + rows[:, 0:D] * ((1 - fx) * (1 - fy) * s)
-                    + rows[:, D:2 * D] * (fx * (1 - fy) * s)
-                    + rows[:, 2 * D:3 * D] * ((1 - fx) * fy * s)
-                    + rows[:, 3 * D:4 * D] * (fx * fy * s)
-                )
-        out_ref[0, :, head * D:(head + 1) * D] = acc.astype(out_ref.dtype)
+    acc = jnp.zeros((QT, D), dtype=jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        size = int(pstarts[lvl + 1] - pstarts[lvl])
+        col = jax.lax.broadcasted_iota(jnp.int32, (QT, size), 1)
+        patch = patch_ref[0, 0, pstarts[lvl]:pstarts[lvl + 1], :]
+        for p in range(P):
+            flat = lvl * P + p
+            px = loc_ref[0, 0, :, 2 * flat:2 * flat + 1].astype(jnp.float32) * w - 0.5
+            py = loc_ref[0, 0, :, 2 * flat + 1:2 * flat + 2].astype(jnp.float32) * h - 0.5
+            aw = attn_ref[0, 0, :, flat:flat + 1].astype(jnp.float32)
+            x0 = jnp.floor(px)
+            y0 = jnp.floor(py)
+            fx = px - x0
+            fy = py - y0
+            x0 = x0.astype(jnp.int32)
+            y0 = y0.astype(jnp.int32)
+            inside = (
+                (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+            ).astype(jnp.float32)
+            idx = (jnp.clip(y0, -1, h - 1) + 1) * (w + 2) + (
+                jnp.clip(x0, -1, w - 1) + 1
+            )
+            mask = (col == idx).astype(jnp.float32)  # one cmp per lane
+            rows = jnp.dot(
+                mask, patch.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (QT, 4D)
+            s = aw * inside
+            acc = (
+                acc
+                + rows[:, 0:D] * ((1 - fx) * (1 - fy) * s)
+                + rows[:, D:2 * D] * (fx * (1 - fy) * s)
+                + rows[:, 2 * D:3 * D] * ((1 - fx) * fy * s)
+                + rows[:, 3 * D:4 * D] * (fx * fy * s)
+            )
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
 def _msda_kernel_v2_masked(
     tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
     patch_ref, loc_ref, attn_ref, out_ref,
-    *, spatial_shapes, num_heads, num_points, head_dim,
+    *, spatial_shapes, num_points, head_dim,
 ):
     """Camera-tile skipping variant: programs whose (batch, query-tile) has
     no visible query write zeros and skip the sampling entirely — the
     TPU-native equivalent of the reference SCA's per-camera query rebatching
     (spatial_cross_attention.py:136-165)."""
     b = pl.program_id(0)
-    q = pl.program_id(1)
+    q = pl.program_id(2)
     active = tile_mask_ref[b, q] > 0
 
     @pl.when(active)
     def _():
         _msda_kernel_v2(
             patch_ref, loc_ref, attn_ref, out_ref,
-            spatial_shapes=spatial_shapes, num_heads=num_heads,
-            num_points=num_points, head_dim=head_dim,
+            spatial_shapes=spatial_shapes, num_points=num_points,
+            head_dim=head_dim,
         )
 
     @pl.when(jnp.logical_not(active))
     def _():
-        out_ref[0, :, :] = jnp.zeros_like(out_ref[0, :, :])
+        out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
 
 
 def _msda_pallas_fwd_impl(
@@ -162,14 +156,15 @@ def _msda_pallas_fwd_impl(
     _, Q, _, L, P, _ = sampling_locations.shape
     QT = q_tile
     Qp = ((Q + QT - 1) // QT) * QT
-    loc = sampling_locations.reshape(B, Q, H * L * P * 2)
-    attn = attention_weights.reshape(B, Q, H * L * P)
+    # (B, Q, H, L, P, 2) -> (B, H, Qp, L*P*2): head is a grid dimension
+    loc = sampling_locations.reshape(B, Q, H, L * P * 2).transpose(0, 2, 1, 3)
+    attn = attention_weights.reshape(B, Q, H, L * P).transpose(0, 2, 1, 3)
     if Qp != Q:
-        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
-        attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
+        loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+        attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
     patches = _build_patches(value, spatial_shapes)  # (B, Vp, H, 4D)
-    Vp = patches.shape[1]
-    patches = patches.reshape(B, Vp, H * 4 * D)
+    patches = patches.transpose(0, 2, 1, 3)          # (B, H, Vp, 4D)
+    Vp = patches.shape[2]
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
     cost = pl.CostEstimate(
         flops=2 * B * Qp * H * L * P * (Vp // max(L, 1)) * 4 * D,
@@ -177,7 +172,7 @@ def _msda_pallas_fwd_impl(
         transcendentals=0,
     )
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((B, Qp, H * D), value.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
         interpret=interpret,
         cost_estimate=cost,
     )
@@ -187,24 +182,24 @@ def _msda_pallas_fwd_impl(
         assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
         kernel = functools.partial(
             _msda_kernel_v2_masked,
-            spatial_shapes=shapes_t, num_heads=H, num_points=P, head_dim=D,
+            spatial_shapes=shapes_t, num_points=P, head_dim=D,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, n_tiles),
+            grid=(B, H, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, Vp, H * 4 * D),
-                             lambda b, q, m: (b, 0, 0),
+                pl.BlockSpec((1, 1, Vp, 4 * D),
+                             lambda b, h, q, m: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, QT, H * L * P * 2),
-                             lambda b, q, m: (b, q, 0),
+                pl.BlockSpec((1, 1, QT, L * P * 2),
+                             lambda b, h, q, m: (b, h, q, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, QT, H * L * P),
-                             lambda b, q, m: (b, q, 0),
+                pl.BlockSpec((1, 1, QT, L * P),
+                             lambda b, h, q, m: (b, h, q, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, QT, H * D),
-                                   lambda b, q, m: (b, q, 0),
+            out_specs=pl.BlockSpec((1, 1, QT, D),
+                                   lambda b, h, q, m: (b, h, q, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
@@ -213,25 +208,26 @@ def _msda_pallas_fwd_impl(
     else:
         kernel = functools.partial(
             _msda_kernel_v2,
-            spatial_shapes=shapes_t, num_heads=H, num_points=P, head_dim=D,
+            spatial_shapes=shapes_t, num_points=P, head_dim=D,
         )
         out = pl.pallas_call(
             kernel,
-            grid=(B, Qp // QT),
+            grid=(B, H, Qp // QT),
             in_specs=[
-                pl.BlockSpec((1, Vp, H * 4 * D), lambda b, q: (b, 0, 0),
+                pl.BlockSpec((1, 1, Vp, 4 * D), lambda b, h, q: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, QT, H * L * P * 2),
-                             lambda b, q: (b, q, 0),
+                pl.BlockSpec((1, 1, QT, L * P * 2),
+                             lambda b, h, q: (b, h, q, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, QT, H * L * P), lambda b, q: (b, q, 0),
+                pl.BlockSpec((1, 1, QT, L * P), lambda b, h, q: (b, h, q, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, QT, H * D), lambda b, q: (b, q, 0),
+            out_specs=pl.BlockSpec((1, 1, QT, D), lambda b, h, q: (b, h, q, 0),
                                    memory_space=pltpu.VMEM),
             **common,
         )(patches, loc, attn)
-    return out[:, :Q]
+    # (B, H, Qp, D) -> (B, Q, H*D)
+    return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -63,7 +63,7 @@ def train(
         start_step = int(state.step)
         log.info("resumed from step %d", start_step)
 
-    step_fn = train_lib.make_jitted_train_step(mesh, cfg.model.num_classes)
+    step_fn = train_lib.make_jitted_train_step(mesh, cfg)
     rng = jax.random.PRNGKey(seed + 1)
 
     batch = first

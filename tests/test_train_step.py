@@ -28,7 +28,7 @@ def setup():
 def test_train_step_decreases_loss(setup):
     cfg, mesh, batch, make_state = setup
     state = make_state()
-    step = train_lib.make_jitted_train_step(mesh, cfg.model.num_classes)
+    step = train_lib.make_jitted_train_step(mesh, cfg)
     batch = shard_batch_pytree(mesh, batch)
     rng = jax.random.PRNGKey(42)
     losses = []
@@ -42,7 +42,7 @@ def test_train_step_decreases_loss(setup):
 def test_frozen_params_do_not_update(setup):
     cfg, mesh, batch, make_state = setup
     state = make_state()
-    step = train_lib.make_jitted_train_step(mesh, cfg.model.num_classes)
+    step = train_lib.make_jitted_train_step(mesh, cfg)
     batch = shard_batch_pytree(mesh, batch)
     p0 = jax.tree.map(np.asarray, state.params)
     state2, _ = step(state, batch, jax.random.PRNGKey(1))
