@@ -323,3 +323,19 @@ def smoke_det_mapv2() -> ExperimentConfig:
         data=DataConfig(max_gt_boxes=4),
         optim=OptimConfig(warmup_iters=2, total_steps=100),
     )
+
+
+def bev_tiny_det_occ_flow() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_occ_flow.py — det+occ with
+    the per-voxel flow branch (L1 on object voxels)."""
+    return ExperimentConfig(
+        name="bev_tiny_det_occ_flow",
+        model=ModelConfig(
+            bev_h=50, bev_w=50,
+            backbone_type="dla", backbone_out_indices=(3, 4, 5),
+            neck_type="secondfpn",
+            num_query=900 * 11, group_detr=11,
+            with_occupancy=True, predict_flow=True,
+        ),
+        compute_dtype="bfloat16",
+    )

@@ -98,6 +98,11 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
             idx = rng.choice(vox, n_occ, replace=False)
             occ[b, idx] = rng.integers(0, m.occupancy_classes, n_occ)
         batch["gt_occupancy"] = occ
+        if m.predict_flow:
+            flow = np.zeros((B, vox, 2), np.float32)
+            obj = occ < 10  # foreground object classes carry flow
+            flow[obj] = rng.normal(0, 1.5, (int(obj.sum()), 2))
+            batch["gt_flow"] = flow
 
     if m.with_map:
         from apollo_vision_net_tpu.data.vector_map import pack_map_gt
