@@ -133,7 +133,7 @@ def bev_tiny_det_occ_apollo() -> ExperimentConfig:
             backbone_type="dla", backbone_out_indices=(3, 4, 5),
             neck_type="secondfpn",
             num_query=900 * 11, group_detr=11,
-            with_occupancy=True,
+            with_occupancy=True, msda_impl="auto_fast",
         ),
         compute_dtype="bfloat16",
     )
@@ -149,7 +149,7 @@ def bev_tiny_det_map_apollo() -> ExperimentConfig:
             bev_h=50, bev_w=50,
             backbone_type="dla", backbone_out_indices=(3, 4, 5),
             neck_type="secondfpn",
-            with_map=True,
+            with_map=True, msda_impl="auto_fast",
         ),
         compute_dtype="bfloat16",
     )

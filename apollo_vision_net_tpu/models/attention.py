@@ -223,7 +223,7 @@ class SpatialCrossAttention(nn.Module):
         hit = jnp.any(bev_mask, axis=-1)  # (N, B, Q)
         inv_perm = None
         tile_mask = None
-        if self.bev_hw is not None and self.msda_impl in ("auto", "pallas"):
+        if self.bev_hw is not None and self.msda_impl.split("_")[0] in ("auto", "pallas"):
             from apollo_vision_net_tpu.utils.geometry import (
                 spatial_block_order,
             )

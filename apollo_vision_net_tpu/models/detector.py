@@ -38,6 +38,9 @@ class BEVFormer(nn.Module):
     embed_dims: int = 256
     use_grid_mask: bool = True
     video_test_mode: bool = True
+    # multi-frame occ supervision: keep each history frame's BEV and let the
+    # occ head supervise every queue frame (reference keep_bev_history)
+    keep_bev_history: bool = False
     # compute dtype for the conv trunk (backbone+neck). The transformer
     # stack stays f32: its hot path is the gather/VPU-bound MSDA kernels,
     # and the reference's fp16 instability lived exactly there (bf16 is the
@@ -104,6 +107,7 @@ class BEVFormer(nn.Module):
         B, Tm1 = imgs_queue.shape[:2]
         Q = self.prev_tokens
         prev_bev = jnp.zeros((B, Q, self.embed_dims), jnp.float32)
+        history = []
         for t in range(Tm1):
             feats = self.extract_img_feat(imgs_queue[:, t], deterministic=True)
             # per-frame prev_bev_exists flag (handles mid-queue scene change,
@@ -118,7 +122,11 @@ class BEVFormer(nn.Module):
                 only_bev=True,
                 deterministic=True,
             )
-        return jax.lax.stop_gradient(prev_bev)
+            history.append(prev_bev)
+        prev_bev = jax.lax.stop_gradient(prev_bev)
+        if self.keep_bev_history:
+            return prev_bev, jax.lax.stop_gradient(jnp.stack(history, axis=1))
+        return prev_bev, None
 
     def __call__(
         self,
@@ -132,8 +140,9 @@ class BEVFormer(nn.Module):
         """Training/eval forward over a temporal queue; the last frame is
         the supervised one (reference forward_train :298-373)."""
         T = img.shape[1]
+        prev_bevs = None
         if T > 1:
-            prev_bev = self.obtain_history_bev(
+            prev_bev, prev_bevs = self.obtain_history_bev(
                 img[:, :-1], can_bus[:, :-1], lidar2img[:, :-1],
                 has_prev[:, :-1],
             )
@@ -144,6 +153,9 @@ class BEVFormer(nn.Module):
             prev_bev = jnp.zeros((B, Q, self.embed_dims), jnp.float32)
             cur_has_prev = has_prev[:, 0]
         feats = self.extract_img_feat(img[:, -1], deterministic=deterministic)
+        kwargs = {}
+        if self.keep_bev_history and prev_bevs is not None:
+            kwargs["prev_bevs"] = prev_bevs
         return self.head(
             feats,
             can_bus=can_bus[:, -1],
@@ -151,6 +163,7 @@ class BEVFormer(nn.Module):
             prev_bev=prev_bev,
             has_prev=cur_has_prev,
             deterministic=deterministic,
+            **kwargs,
         )
 
     def forward_test_frame(

@@ -130,6 +130,7 @@ class BEVFormerOccupancyHead(BEVFormerHead):
         has_prev: jnp.ndarray,
         only_bev: bool = False,
         deterministic: bool = True,
+        prev_bevs: "jnp.ndarray | None" = None,  # (B, S-1, Q, C) history
     ):
         if only_bev:
             return super().__call__(
@@ -142,7 +143,15 @@ class BEVFormerOccupancyHead(BEVFormerHead):
             prev_bev=prev_bev, has_prev=has_prev, only_bev=False,
             deterministic=deterministic,
         )
-        occ_feat = self._occ_from_bev(outs["bev_embed"])
+        bev = outs["bev_embed"]
+        if prev_bevs is not None:
+            # multi-frame occ supervision (reference keep_bev_history /
+            # obtain_all_history_bev, detectors/bevformer.py:278-296):
+            # every queue frame's BEV is lifted and supervised
+            B, S1 = prev_bevs.shape[:2]
+            seq = jnp.concatenate([prev_bevs, bev[:, None]], axis=1)
+            bev = seq.reshape(B * (S1 + 1), *bev.shape[1:])
+        occ_feat = self._occ_from_bev(bev)
         outs["occupancy_preds"] = self.occ_branches(occ_feat)
         outs["flow_preds"] = (
             self.flow_branches(occ_feat) if self.predict_flow else None

@@ -190,7 +190,9 @@ def ms_deform_attn(
     impl: str = "auto",
     tile_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}.
+    """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}, each with
+    an optional '_fast' suffix (single-bf16-pass MXU sampling; pairs with
+    bf16 trunks).
 
     tile_mask (B, ceil(Q/128)) lets the Pallas kernel skip (batch,
     query-tile) programs entirely — callers must mask skipped outputs. The
@@ -201,6 +203,8 @@ def ms_deform_attn(
         return ms_deform_attn_xla_patch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
+    fast = impl.endswith("_fast")
+    impl = impl[:-5] if fast else impl
     if impl in ("auto", "pallas"):
         from apollo_vision_net_tpu.ops import msda_pallas
 
@@ -213,7 +217,7 @@ def ms_deform_attn(
         ):
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights,
-                tile_mask,
+                fast, tile_mask,
             )
         return (
             ms_deform_attn_xla_patch(

@@ -77,6 +77,7 @@ def _msda_kernel_v2(
     spatial_shapes: Tuple[Tuple[int, int], ...],
     num_points: int,
     head_dim: int,
+    precision=None,
 ):
     QT = loc_ref.shape[2]
     L = len(spatial_shapes)
@@ -106,10 +107,14 @@ def _msda_kernel_v2(
                 jnp.clip(x0, -1, w - 1) + 1
             )
             mask = (col == idx).astype(jnp.float32)  # one cmp per lane
+            # HIGHEST = bf16x3 (f32-exact selection); DEFAULT = one bf16
+            # pass — values rounded to bf16, 3x fewer MXU passes ("fast"
+            # mode, consistent with bf16 conv trunks)
+            prec = precision or jax.lax.Precision.HIGHEST
             rows = jnp.dot(
                 mask, patch.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )  # (QT, 4D)
             s = aw * inside
             acc = (
@@ -125,7 +130,7 @@ def _msda_kernel_v2(
 def _msda_kernel_v2_masked(
     tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
     patch_ref, loc_ref, attn_ref, out_ref,
-    *, spatial_shapes, num_points, head_dim,
+    *, spatial_shapes, num_points, head_dim, precision=None,
 ):
     """Camera-tile skipping variant: programs whose (batch, query-tile) has
     no visible query write zeros and skip the sampling entirely — the
@@ -140,7 +145,7 @@ def _msda_kernel_v2_masked(
         _msda_kernel_v2(
             patch_ref, loc_ref, attn_ref, out_ref,
             spatial_shapes=spatial_shapes, num_points=num_points,
-            head_dim=head_dim,
+            head_dim=head_dim, precision=precision,
         )
 
     @pl.when(jnp.logical_not(active))
@@ -150,8 +155,9 @@ def _msda_kernel_v2_masked(
 
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
-    interpret=False, q_tile=128, tile_mask=None,
+    interpret=False, q_tile=128, tile_mask=None, fast=False,
 ):
+    precision = jax.lax.Precision.DEFAULT if fast else None
     B, V, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     QT = q_tile
@@ -183,6 +189,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel_v2_masked,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
+            precision=precision,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -209,6 +216,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel_v2,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
+            precision=precision,
         )
         out = pl.pallas_call(
             kernel,
@@ -230,30 +238,31 @@ def _msda_pallas_fwd_impl(
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
 def ms_deform_attn_pallas(
     value,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations,
     attention_weights,
+    fast: bool = False,
     tile_mask=None,
 ):
     return _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask,
+        tile_mask=tile_mask, fast=fast,
     )
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
-         tile_mask):
+         fast, tile_mask):
     out = _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask,
+        tile_mask=tile_mask, fast=fast,
     )
     return out, (value, sampling_locations, attention_weights, tile_mask)
 
 
-def _bwd(spatial_shapes, residuals, g):
+def _bwd(spatial_shapes, fast, residuals, g):
     # Backward uses the unmasked XLA VJP: skipped tiles only exist where the
     # caller zeroes the output (and hence the cotangent) anyway.
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
