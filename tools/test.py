@@ -45,7 +45,7 @@ def main():
 
     if args.data == "synthetic":
         frames = []
-        gt_det = []
+        gt = {"det": [], "map": []}
         from apollo_vision_net_tpu.evaluation import formatting
 
         for i in range(args.num_frames):
@@ -55,10 +55,19 @@ def main():
                 lidar2img=b["lidar2img"][0, -1],
                 scene_token=f"scene{i // 10}",
             ))
-            gt_det.append(formatting.gt_to_sample_record(
+            gt["det"].append(formatting.gt_to_sample_record(
                 b["gt_boxes"][0], b["gt_labels"][0], b["gt_mask"][0]))
+            if cfg.model.with_map:
+                # unpack the padded map GT back into per-vector polylines
+                # (order 0 of the shift protocol = the canonical ordering)
+                mask = b["map_mask"][0]
+                gt["map"].append({
+                    "vectors": [b["map_shift_pts"][0][v, 0]
+                                for v in range(len(mask)) if mask[v]],
+                    "labels": b["map_labels"][0][mask],
+                })
         results = run_streaming_eval(cfg, model, state.params, frames)
-        metrics = evaluate_results(cfg, results, {"det": gt_det})
+        metrics = evaluate_results(cfg, results, gt)
     else:
         raise NotImplementedError("nuscenes eval requires data on disk")
 
