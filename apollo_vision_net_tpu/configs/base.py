@@ -56,6 +56,7 @@ class ModelConfig:
     occ_zdim: int = 16
     occ_dims: int = 128
     occ_head_type: str = "cnn"
+    occ_tsa: bool = False
     predict_flow: bool = False
     occ_loss_type: str = "CustomFocalLoss"
     # map (MapTR v1 protocol)
@@ -338,4 +339,15 @@ def bev_tiny_det_occ_flow() -> ExperimentConfig:
             with_occupancy=True, predict_flow=True,
         ),
         compute_dtype="bfloat16",
+    )
+
+
+def bev_tiny_det_occ_tsa_apollo() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_occ_tsa_apollo.py — the
+    apollo det+occ model with the extra occ-resolution deformable pass."""
+    import dataclasses
+    base = bev_tiny_det_occ_apollo()
+    return dataclasses.replace(
+        base, name="bev_tiny_det_occ_tsa_apollo",
+        model=dataclasses.replace(base.model, occ_tsa=True),
     )

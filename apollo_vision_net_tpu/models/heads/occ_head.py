@@ -23,7 +23,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from apollo_vision_net_tpu.models.encoder import BEVFormerLayer
 from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
+from apollo_vision_net_tpu.utils import geometry
 
 
 class OccMLPBranch(nn.Module):
@@ -78,6 +80,10 @@ class BEVFormerOccupancyHead(BEVFormerHead):
     occ_head_type: str = "cnn"
     predict_flow: bool = False
     flow_dims: int = 2
+    # optional second deformable (image cross-attention) pass at occupancy
+    # resolution (reference occ_tsa, occupancy_head_apollo.py:68-144)
+    occ_tsa: bool = False
+    occ_tsa_layers: int = 1
 
     @property
     def voxel_num(self) -> int:
@@ -88,8 +94,26 @@ class BEVFormerOccupancyHead(BEVFormerHead):
         if self.occ_head_type == "cnn":
             self.upsample_layer = CNNUpsample(
                 embed_dims=self.embed_dims,
-                out_channels=self.occ_zdim * self.occ_dims,
+                out_channels=(
+                    self.embed_dims if self.occ_tsa
+                    else self.occ_zdim * self.occ_dims
+                ),
             )
+            if self.occ_tsa:
+                self.occ_tsa_blocks = [
+                    BEVFormerLayer(
+                        embed_dims=self.embed_dims,
+                        num_levels=self.num_feature_levels,
+                        num_cams=self.num_cams,
+                        feedforward_channels=self.feedforward_channels,
+                        msda_impl=self.msda_impl,
+                        bev_hw=(self.occ_xdim, self.occ_ydim),
+                        name=f"occ_tsa_layer{i}",
+                    )
+                    for i in range(self.occ_tsa_layers)
+                ]
+                self.occ_tsa_head = nn.Dense(
+                    self.occ_zdim * self.occ_dims, name="occ_tsa_head")
         else:
             self.occ_proj = nn.Dense(self.occ_dims * self.occ_zdim)
         self.occ_branches = OccMLPBranch(
@@ -100,12 +124,16 @@ class BEVFormerOccupancyHead(BEVFormerHead):
                 self.occ_dims, self.flow_dims, self.num_occ_fcs
             )
 
-    def _occ_from_bev(self, bev_embed: jnp.ndarray) -> jnp.ndarray:
+    def _occ_from_bev(self, bev_embed: jnp.ndarray, mlvl_feats=None,
+                      lidar2img=None, deterministic=True) -> jnp.ndarray:
         """(B, bev_h*bev_w, C) -> (B, z*x*y, occ_dims), (z, x, y) order."""
         B = bev_embed.shape[0]
         if self.occ_head_type == "cnn":
             grid = bev_embed.reshape(B, self.bev_h, self.bev_w, self.embed_dims)
-            up = self.upsample_layer(grid)  # (B, occ_x, occ_y, z*d)
+            up = self.upsample_layer(grid)  # (B, occ_x, occ_y, z*d | C)
+            if self.occ_tsa:
+                up = self._occ_tsa_pass(up, mlvl_feats, lidar2img,
+                                        deterministic)
             # channels (z*d) are (d, z) in the reference's torch layout
             # (view(bs, occ_dims, occ_zdim, x, y)); we define them as (z, d)
             up = up.reshape(B, self.occ_xdim, self.occ_ydim,
@@ -119,6 +147,47 @@ class BEVFormerOccupancyHead(BEVFormerHead):
                       self.occ_zdim, self.occ_dims)
         p = p.transpose(0, 2, 1, 3)  # (B, z, xy, d)
         return p.reshape(B, self.voxel_num, self.occ_dims)
+
+    def _occ_tsa_pass(self, up, mlvl_feats, lidar2img, deterministic):
+        """Deformable refinement at occ resolution: upsampled BEV tokens
+        attend to the image features once more (occupancy_head_apollo.py
+        upsample_tsa_occ, :114-144; prev/shift are zeroed there)."""
+        B, ox, oy, C = up.shape
+        Q = ox * oy
+        q = up.reshape(B, Q, C)
+        ref_3d = jnp.asarray(geometry.bev_reference_points_3d(
+            ox, oy, self.pc_range[5] - self.pc_range[2],
+            self.num_points_in_pillar))
+        ref_cam, bev_mask = jax.vmap(
+            lambda l2i: geometry.point_sampling(
+                ref_3d, self.pc_range, l2i, self.img_shape)
+        )(lidar2img)
+        ref_cam = ref_cam.transpose(1, 0, 2, 3, 4)
+        bev_mask = bev_mask.transpose(1, 0, 2, 3)
+        ref_2d = jnp.asarray(geometry.bev_reference_points_2d(ox, oy))
+        img_value, img_shapes = [], []
+        for feat in mlvl_feats:
+            b, n, h, w, c = feat.shape
+            img_value.append(feat.reshape(b, n, h * w, c))
+            img_shapes.append((h, w))
+        img_value = jnp.concatenate(img_value, axis=2)
+        tsa_refs = jnp.stack(
+            [jnp.broadcast_to(ref_2d[None], (B, Q, 2))] * 2, 1
+        )[:, :, :, None, :]
+        for blk in self.occ_tsa_blocks:
+            q = blk(
+                q, img_value,
+                bev_pos=jnp.zeros_like(q),
+                tsa_value=jnp.stack([q, q], axis=1),
+                tsa_refs=tsa_refs,
+                bev_spatial_shapes=((ox, oy),),
+                img_spatial_shapes=tuple(img_shapes),
+                reference_points_cam=ref_cam,
+                bev_mask=bev_mask,
+                deterministic=deterministic,
+            )
+        return self.occ_tsa_head(q).reshape(
+            B, ox, oy, self.occ_zdim * self.occ_dims)
 
     def __call__(
         self,
@@ -145,13 +214,17 @@ class BEVFormerOccupancyHead(BEVFormerHead):
         )
         bev = outs["bev_embed"]
         if prev_bevs is not None:
+            assert not self.occ_tsa, (
+                "occ_tsa and keep_bev_history are mutually exclusive "
+                "(the refinement pass attends to current-frame images)")
             # multi-frame occ supervision (reference keep_bev_history /
             # obtain_all_history_bev, detectors/bevformer.py:278-296):
             # every queue frame's BEV is lifted and supervised
             B, S1 = prev_bevs.shape[:2]
             seq = jnp.concatenate([prev_bevs, bev[:, None]], axis=1)
             bev = seq.reshape(B * (S1 + 1), *bev.shape[1:])
-        occ_feat = self._occ_from_bev(bev)
+        occ_feat = self._occ_from_bev(bev, mlvl_feats, lidar2img,
+                                      deterministic)
         outs["occupancy_preds"] = self.occ_branches(occ_feat)
         outs["flow_preds"] = (
             self.flow_branches(occ_feat) if self.predict_flow else None

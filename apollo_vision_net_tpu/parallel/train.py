@@ -79,7 +79,7 @@ def build_head(cfg: ExperimentConfig):
         )
     if m.with_occupancy:
         return BEVFormerOccupancyHead(
-            occ_head_type=m.occ_head_type,
+            occ_head_type=m.occ_head_type, occ_tsa=m.occ_tsa,
             predict_flow=m.predict_flow, **occ_kw, **common,
         )
     if m.with_map and m.map_version == 2:
