@@ -32,6 +32,7 @@ class ModelConfig:
     backbone_type: str = "resnet"
     backbone_depth: int = 50
     backbone_out_indices: Tuple[int, ...] = (3,)
+    backbone_dcn_stages: Tuple[bool, ...] = (False, False, False, False)
     neck_type: str = "fpn"
     group_detr: int = 1
     # inputs
@@ -252,6 +253,7 @@ def bev_base_occ() -> ExperimentConfig:
         name="bev_base_occ",
         model=ModelConfig(
             bev_h=200, bev_w=200, backbone_depth=101,
+            backbone_dcn_stages=(False, False, True, True),
             encoder_layers=6, with_occupancy=True,
             occ_head_type="mlp", occ_xdim=200, occ_ydim=200,
         ),

@@ -33,6 +33,7 @@ class BEVFormer(nn.Module):
     backbone_type: str = "resnet"  # 'resnet' | 'dla'
     backbone_depth: int = 50
     backbone_out_indices: Sequence[int] = (3,)
+    backbone_dcn_stages: Sequence[bool] = (False, False, False, False)
     neck_type: str = "fpn"  # 'fpn' | 'secondfpn'
     neck_num_outs: int = 1
     embed_dims: int = 256
@@ -53,6 +54,7 @@ class BEVFormer(nn.Module):
             self.img_backbone = ResNet(
                 depth=self.backbone_depth,
                 out_indices=self.backbone_out_indices,
+                dcn_stages=self.backbone_dcn_stages,
                 dtype=dtype,
             )
         elif self.backbone_type == "dla":

@@ -47,6 +47,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: object = jnp.float32
+    with_dcn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,9 +56,30 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(name="bn1")(out)
         out = nn.relu(out)
         # pytorch-style: stride on the 3x3
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+        if self.with_dcn and self.stride == 1:
+            # DCNv2 (R101-DCN config tier): offsets/masks from a 3x3 conv
+            from apollo_vision_net_tpu.ops.dcnv3 import modulated_deform_conv
+
+            om = nn.Conv(27, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=nn.initializers.zeros,
+                         name="conv2_offset")(out)
+            offset = om[..., :18].reshape(out.shape[:-1] + (9, 2))
+            mask = jax.nn.sigmoid(om[..., 18:])
+            w = self.param(
+                "conv2_dcn_weight",
+                nn.initializers.variance_scaling(2.0, "fan_out",
+                                                 "truncated_normal"),
+                (9, out.shape[-1], self.planes),
+            )
+            out = modulated_deform_conv(
+                out.astype(jnp.float32), offset.astype(jnp.float32),
+                mask.astype(jnp.float32), w.astype(jnp.float32),
+            ).astype(out.dtype)
+        else:
+            out = nn.Conv(self.planes, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="conv2")(out)
         out = FrozenBatchNorm(name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
@@ -80,6 +102,8 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (3,)
     base_width: int = 64
     dtype: object = jnp.float32
+    # mmdet R101-DCN: dcn in stages 2,3 (strides 16/32), first block excluded
+    dcn_stages: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -102,6 +126,7 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
                     dtype=self.dtype,
+                    with_dcn=self.dcn_stages[stage] and b > 0,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:

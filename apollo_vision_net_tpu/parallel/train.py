@@ -110,6 +110,7 @@ def build_model(cfg: ExperimentConfig) -> BEVFormer:
         backbone_type=m.backbone_type,
         backbone_depth=m.backbone_depth,
         backbone_out_indices=m.backbone_out_indices,
+        backbone_dcn_stages=m.backbone_dcn_stages,
         neck_type=m.neck_type,
         neck_num_outs=m.num_feature_levels,
         embed_dims=m.embed_dims,
