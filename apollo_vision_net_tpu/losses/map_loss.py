@@ -42,6 +42,27 @@ def normalize_pts(pts: jnp.ndarray, pc_range: Sequence[float]) -> jnp.ndarray:
     return jnp.concatenate([x, y], axis=-1)
 
 
+def _pts_cost(pts_pred01, gt_pts01, cost_type: str):
+    """Per-(pred, gt, order) point-set distances (map_loss.py variants:
+    OrderedPtsL1Cost :214, OrderedPtsSmoothL1Cost :188,
+    MyChamferDistanceCost :227)."""
+    Q, P, _ = pts_pred01.shape
+    V, O = gt_pts01.shape[:2]
+    if cost_type == "chamfer":
+        # (Q, V, O, P, P) pairwise point distances
+        d = jnp.linalg.norm(
+            pts_pred01[:, None, None, :, None, :]
+            - gt_pts01[None, :, :, None, :, :], axis=-1)
+        return d.min(-1).mean(-1) + d.min(-2).mean(-1)
+    diff = jnp.abs(
+        pts_pred01.reshape(Q, 1, 1, P * 2)
+        - gt_pts01.reshape(1, V, O, P * 2)
+    )
+    if cost_type == "smooth_l1":
+        diff = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    return diff.sum(-1)
+
+
 def _match_single(
     cls_logits: jnp.ndarray,   # (Q, C)
     pts_pred01: jnp.ndarray,   # (Q, P, 2) normalized
@@ -51,15 +72,12 @@ def _match_single(
     order_mask: jnp.ndarray,   # (V, O)
     cls_cost_weight: float,
     pts_cost_weight: float,
+    pts_cost_type: str = "l1",
 ):
     Q, P, _ = pts_pred01.shape
     V, O = gt_pts01.shape[:2]
     cls_cost = focal_cls_cost(cls_logits, gt_labels, weight=cls_cost_weight)
-    # L1 distance pred×(gt, order): (Q, V, O)
-    d = jnp.abs(
-        pts_pred01.reshape(Q, 1, 1, P * 2)
-        - gt_pts01.reshape(1, V, O, P * 2)
-    ).sum(-1)
+    d = _pts_cost(pts_pred01, gt_pts01, pts_cost_type)  # (Q, V, O)
     d = jnp.where(order_mask[None], d, 1e9)
     pts_cost = d.min(axis=-1) * pts_cost_weight       # (Q, V)
     order_idx = d.argmin(axis=-1)                      # (Q, V)
@@ -82,6 +100,7 @@ def map_loss(
     dir_loss_weight: float = 0.005,
     cls_cost_weight: float = 2.0,
     pts_cost_weight: float = 5.0,
+    pts_cost_type: str = "l1",  # 'l1' | 'smooth_l1' | 'chamfer'
     dir_interval: int = 1,
 ) -> Dict[str, jnp.ndarray]:
     L, B, Q, C = map_all_cls.shape
@@ -97,7 +116,8 @@ def map_loss(
         pts_l = map_all_pts[lyr].astype(jnp.float32)
         assigned_q, chosen_order = jax.vmap(
             lambda c, p, g, gl, gm, om: _match_single(
-                c, p, g, gl, gm, om, cls_cost_weight, pts_cost_weight)
+                c, p, g, gl, gm, om, cls_cost_weight, pts_cost_weight,
+                pts_cost_type)
         )(cls_l, pts_l, gt_pts01, gt.labels, gt.mask, gt.order_mask)
 
         def scatter(aq, order, gl, gm, g01, graw):

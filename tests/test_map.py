@@ -107,3 +107,31 @@ def test_get_map_results(map_head_outs):
     assert v.shape == (1, 5, 4, 2)
     assert (v[..., 0] >= PC[0] - 1e-5).all() and (v[..., 0] <= PC[3] + 1e-5).all()
     assert res["scores"].shape == (1, 5)
+
+
+def test_pts_cost_variants():
+    import jax.numpy as jnp
+    from apollo_vision_net_tpu.losses.map_loss import _pts_cost
+
+    rng = np.random.default_rng(5)
+    pred = jnp.asarray(rng.uniform(0, 1, (3, 4, 2)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0, 1, (2, 2, 4, 2)), jnp.float32)
+    for t in ("l1", "smooth_l1", "chamfer"):
+        d = _pts_cost(pred, gt, t)
+        assert d.shape == (3, 2, 2)
+        assert np.isfinite(np.asarray(d)).all()
+    # chamfer is order-invariant: flipping a gt ordering leaves cost equal
+    gtf = gt[:, ::-1]
+    np.testing.assert_allclose(
+        np.asarray(_pts_cost(pred, gt, "chamfer").min(-1)),
+        np.asarray(_pts_cost(pred, gtf, "chamfer").min(-1)), atol=1e-6)
+
+
+def test_map_loss_chamfer_cost_runs():
+    rng = np.random.default_rng(6)
+    L, B, Q, C, P = 1, 1, 8, 3, 10
+    cls = jnp.asarray(rng.standard_normal((L, B, Q, C)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(0, 1, (L, B, Q, P, 2)), jnp.float32)
+    gt = make_map_gt(B=B, P=P)
+    losses = map_loss(cls, pts, gt, pc_range=PC, pts_cost_type="chamfer")
+    assert np.isfinite(float(losses["loss_map_total"]))
