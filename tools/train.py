@@ -34,6 +34,9 @@ def main():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run the synthetic streaming eval every N steps")
+    p.add_argument("--eval-frames", type=int, default=8)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -53,9 +56,36 @@ def main():
             "nuscenes loader requires converted infos; see "
             "apollo_vision_net_tpu/data/infos.py")
 
+    eval_fn = None
+    if args.eval_interval:
+        from apollo_vision_net_tpu.data.synthetic import make_batch
+        from apollo_vision_net_tpu.evaluation import formatting
+        from apollo_vision_net_tpu.parallel.train import build_model
+        from apollo_vision_net_tpu.runtime.inference import (
+            evaluate_results,
+            run_streaming_eval,
+        )
+
+        model = build_model(cfg)
+        frames, gt_det = [], []
+        for i in range(args.eval_frames):
+            b = make_batch(cfg, 1, seed=10_000 + i)
+            frames.append(dict(
+                img=b["img"][0, -1], can_bus=b["can_bus"][0, -1],
+                lidar2img=b["lidar2img"][0, -1],
+                scene_token=f"eval{i // 10}",
+            ))
+            gt_det.append(formatting.gt_to_sample_record(
+                b["gt_boxes"][0], b["gt_labels"][0], b["gt_mask"][0]))
+
+        def eval_fn(state):
+            results = run_streaming_eval(cfg, model, state.params, frames)
+            return evaluate_results(cfg, results, {"det": gt_det})
+
     train(cfg, data, num_steps=args.steps, work_dir=work_dir,
           resume=args.resume, seed=args.seed,
-          log_interval=args.log_interval)
+          log_interval=args.log_interval,
+          eval_fn=eval_fn, eval_interval=args.eval_interval)
 
 
 if __name__ == "__main__":
