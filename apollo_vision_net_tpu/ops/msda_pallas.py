@@ -50,7 +50,9 @@ def is_profitable(value, spatial_shapes, sampling_locations) -> bool:
 
 
 def _build_patches(value, spatial_shapes):
-    """(B, V, H, D) -> (B, Vp, H, 4*D): zero-padded 2×2 neighbourhoods."""
+    """(B, V, H, D) -> (B, H, Vp, 4*D): zero-padded 2×2 neighbourhoods,
+    built head-major so no large transpose follows (the head axis moves
+    while the tensor is still 4× smaller than the patched result)."""
     B, V, H, D = value.shape
     sizes = [h * w for h, w in spatial_shapes]
     starts = np.concatenate([[0], np.cumsum(sizes)])
@@ -58,14 +60,14 @@ def _build_patches(value, spatial_shapes):
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.slice_in_dim(
             value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
-        ).reshape(B, h, w, H, D)
-        vp = jnp.pad(v, [(0, 0), (1, 1), (1, 1), (0, 0), (0, 0)])
-        p01 = jnp.roll(vp, -1, axis=2)
-        p10 = jnp.roll(vp, -1, axis=1)
-        p11 = jnp.roll(p10, -1, axis=2)
-        patch = jnp.concatenate([vp, p01, p10, p11], axis=-1)  # (...,H,4D)
-        out.append(patch.reshape(B, (h + 2) * (w + 2), H, 4 * D))
-    return jnp.concatenate(out, axis=1)
+        ).reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
+        vp = jnp.pad(v, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+        p01 = jnp.roll(vp, -1, axis=3)
+        p10 = jnp.roll(vp, -1, axis=2)
+        p11 = jnp.roll(p10, -1, axis=3)
+        patch = jnp.concatenate([vp, p01, p10, p11], axis=-1)  # (...,4D)
+        out.append(patch.reshape(B, H, (h + 2) * (w + 2), 4 * D))
+    return jnp.concatenate(out, axis=2)
 
 
 def _msda_kernel_v2(
@@ -168,8 +170,7 @@ def _msda_pallas_fwd_impl(
     if Qp != Q:
         loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
         attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
-    patches = _build_patches(value, spatial_shapes)  # (B, Vp, H, 4D)
-    patches = patches.transpose(0, 2, 1, 3)          # (B, H, Vp, 4D)
+    patches = _build_patches(value, spatial_shapes)  # (B, H, Vp, 4D)
     Vp = patches.shape[2]
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
     cost = pl.CostEstimate(
