@@ -199,12 +199,12 @@ def ms_deform_attn(
     XLA paths ignore it (they compute everything; downstream masking makes
     the results identical).
     """
+    fast = impl.endswith("_fast")
+    impl = impl[:-5] if fast else impl
     if impl == "xla":
         return ms_deform_attn_xla_patch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
-    fast = impl.endswith("_fast")
-    impl = impl[:-5] if fast else impl
     if impl in ("auto", "pallas"):
         from apollo_vision_net_tpu.ops import msda_pallas
 
