@@ -47,6 +47,7 @@ class ModelConfig:
     attn_logits_clamp: Optional[float] = None
     video_test_mode: bool = True
     msda_impl: str = "auto"
+    bev_partition: Optional[Tuple[Optional[str], ...]] = None
     # tasks
     with_occupancy: bool = False
     with_map: bool = False

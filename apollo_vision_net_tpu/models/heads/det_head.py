@@ -77,6 +77,11 @@ class BEVFormerHead(nn.Module):
     # Group-DETR (occupancy_head_apollo.py:40-49): num_query is the TOTAL
     # (per-group × group_detr); at inference only the first group is used.
     group_detr: int = 1
+    # Optional BEV-grid activation sharding over the mesh's `sp` axis, e.g.
+    # ("dp", "sp", None) for (batch, query, channel). Requires callers to run
+    # under jax.sharding.set_mesh(mesh). XLA propagates the layout through
+    # the encoder and inserts the halo/all-gather collectives.
+    bev_partition: "tuple | None" = None
 
     @property
     def real_hw(self) -> Tuple[float, float]:
@@ -178,6 +183,11 @@ class BEVFormerHead(nn.Module):
         if self.group_detr > 1 and deterministic:
             query_embedding = query_embedding[: self.num_query // self.group_detr]
 
+        if self.bev_partition is not None:
+            from jax.sharding import PartitionSpec
+
+            prev_bev = jax.lax.with_sharding_constraint(
+                prev_bev, PartitionSpec(*self.bev_partition))
         bev_embed, hs, init_ref, inter_refs = self.transformer(
             mlvl_feats, self.bev_embedding, query_embedding,
             bev_h=self.bev_h, bev_w=self.bev_w, grid_length=grid_length,
@@ -205,6 +215,11 @@ class BEVFormerHead(nn.Module):
             cls_scores.append(cls)
             bbox_preds.append(box)
 
+        if self.bev_partition is not None:
+            from jax.sharding import PartitionSpec
+
+            bev_embed = jax.lax.with_sharding_constraint(
+                bev_embed, PartitionSpec(*self.bev_partition))
         return {
             "bev_embed": bev_embed,
             "all_cls_scores": jnp.stack(cls_scores),

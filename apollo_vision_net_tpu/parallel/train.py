@@ -54,6 +54,7 @@ def build_head(cfg: ExperimentConfig):
         attn_logits_clamp=m.attn_logits_clamp,
         msda_impl=m.msda_impl,
         group_detr=m.group_detr,
+        bev_partition=m.bev_partition,
     )
     occ_kw = dict(
         occupancy_classes=m.occupancy_classes,
