@@ -248,8 +248,8 @@ def hybrid_tiny_occ() -> ExperimentConfig:
 
 
 def bev_base_occ() -> ExperimentConfig:
-    """projects/configs/bevformer/bev_base_occ.py — R101 tier (R50 stands in
-    until DCN-R101 lands), 200×200 BEV, occ-only grid at 0.5 m."""
+    """projects/configs/bevformer/bev_base_occ.py — R101 with DCN stages
+    3-4, 200×200 BEV, occ-only grid at 0.5 m."""
     return ExperimentConfig(
         name="bev_base_occ",
         model=ModelConfig(

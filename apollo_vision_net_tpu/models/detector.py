@@ -25,6 +25,7 @@ from apollo_vision_net_tpu.models.fpn import FPN
 from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead
 from apollo_vision_net_tpu.models.resnet import ResNet
 from apollo_vision_net_tpu.models.second_fpn import SECONDFPNV2
+from apollo_vision_net_tpu.utils import debug
 from apollo_vision_net_tpu.utils.grid_mask import grid_mask
 
 
@@ -92,7 +93,16 @@ class BEVFormer(nn.Module):
         x = img.reshape(B * N, H, W, C)
         if self.use_grid_mask and not deterministic:
             x = grid_mask(self.make_rng("grid_mask"), x)
-        feats = self.img_neck(self.img_backbone(x))
+        # debug_nan probes at the backbone/neck boundary (reference
+        # detectors/bevformer.py:111-151); identity unless debug.enable_probes
+        bfeats = tuple(
+            debug.probe(f"backbone.{i}", f)
+            for i, f in enumerate(self.img_backbone(x))
+        )
+        feats = tuple(
+            debug.probe(f"neck.{i}", f)
+            for i, f in enumerate(self.img_neck(bfeats))
+        )
         # the transformer stack runs in f32 (see compute_dtype note)
         return tuple(
             f.reshape((B, N) + f.shape[1:]).astype(jnp.float32) for f in feats

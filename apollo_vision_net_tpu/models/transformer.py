@@ -8,8 +8,11 @@ decoder path splits the object query embedding into (pos, content), derives
 decoder over BEV memory.
 
 The reference's NaN sanitizer scaffolding (nan_to_num guards, _finite_stats)
-is not ported — bf16/f32 on TPU with fp32 softmax does not need it; a debug
-checkify pass lives in utils/debug.py instead.
+is not ported to the hot path — bf16/f32 on TPU with fp32 softmax does not
+need it. The debug-mode equivalent lives in utils/debug.py: finite-stats
+probes (enable via debug.enable_probes / capture_probes) are planted at the
+backbone/neck/encoder boundaries, and debug.assert_all_finite gives the
+checkify hard-stop.
 """
 from __future__ import annotations
 
@@ -22,6 +25,7 @@ import jax.numpy as jnp
 from apollo_vision_net_tpu.models.decoder import DetectionTransformerDecoder
 from apollo_vision_net_tpu.models.encoder import BEVFormerEncoder
 from apollo_vision_net_tpu.ops.grid_sample import rotate_2d
+from apollo_vision_net_tpu.utils import debug
 from apollo_vision_net_tpu.utils.geometry import bev_shift_from_can_bus
 
 Shapes = Tuple[Tuple[int, int], ...]
@@ -154,7 +158,9 @@ class PerceptionTransformer(nn.Module):
 
         img_value, img_shapes = self._flatten_img_feats(mlvl_feats)
 
-        return self.encoder(
+        # debug_nan probe at the encoder boundary (reference
+        # transformer.py:134-149); identity unless debug.enable_probes()
+        return debug.probe("encoder.bev_embed", self.encoder(
             queries, img_value,
             bev_pos=jnp.broadcast_to(bev_pos[None], (B, Q, C)),
             prev_bev=prev_bev,
@@ -167,7 +173,7 @@ class PerceptionTransformer(nn.Module):
             reference_points_cam=reference_points_cam,
             bev_mask=bev_mask,
             deterministic=deterministic,
-        )
+        ))
 
     def __call__(
         self,

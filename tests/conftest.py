@@ -22,4 +22,9 @@ import jax  # noqa: E402
 # after import is what actually pins tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the model-family/e2e tests are dominated by
+# XLA compile time (~30 min cold); warm runs reuse cached executables.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", jax.devices()
