@@ -73,6 +73,10 @@ class ModelConfig:
     map_k_one2many: int = 6
     map_lambda_one2many: float = 1.0
     with_aux_seg: bool = False
+    # rasterized aux-seg GT dilation radii (v2 head map_aux_seg_radius /
+    # map_aux_pv_radius, bevformer_det_map_head_apollo_v2.py:246,374)
+    map_aux_seg_radius: int = 1
+    map_aux_pv_radius: int = 1
     # voxel / hybrid trunks
     head_family: str = "bev"  # 'bev' | 'voxel' | 'hybrid'
     bev_z: int = 4

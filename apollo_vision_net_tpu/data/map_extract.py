@@ -184,8 +184,18 @@ class VectorizedLocalMap:
         """(instances in ego frame float32, labels) — the payload the
         dataset packs via vector_map.pack_map_gt (reference returns
         gt_vecs_pts_loc/gt_vecs_label, :371-390)."""
-        center = np.asarray(lidar2global_translation[:2], np.float64)
-        yaw = quaternion_yaw(lidar2global_rotation)
+        return self.gen_vectorized_samples_pose(
+            location,
+            np.asarray(lidar2global_translation[:2], np.float64),
+            quaternion_yaw(lidar2global_rotation),
+        )
+
+    def gen_vectorized_samples_pose(
+        self, location: str, center: np.ndarray, yaw: float
+    ) -> Tuple[List[np.ndarray], List[int]]:
+        """Same extraction, pose given as (xy center, yaw) — the form the
+        offline converter has after composing info poses (infos.lidar2global)."""
+        center = np.asarray(center, np.float64)[:2]
         vectors: List[np.ndarray] = []
         labels: List[int] = []
 

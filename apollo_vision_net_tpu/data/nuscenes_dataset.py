@@ -120,10 +120,11 @@ class NuScenesTemporalDataset:
                 sparse, m.occ_zdim * m.occ_xdim * m.occ_ydim,
                 m.occupancy_classes)
         if self.load_map_gt:
-            vectors = info.get("map_vectors", [])
+            vectors = [np.asarray(v, np.float32)
+                       for v in info.get("map_vectors", [])]
             labels_v = info.get("map_labels", [])
             packed = pack_map_gt(
-                [np.asarray(v, np.float32) for v in vectors],
+                vectors,
                 list(labels_v),
                 max_vec=min(self.cfg.data.max_gt_boxes, m.num_map_vec),
                 fixed_num=m.map_num_pts, pattern=m.map_shift_pattern,
@@ -135,6 +136,19 @@ class NuScenesTemporalDataset:
                 map_mask=packed["mask"],
                 map_order_mask=packed["order_mask"],
             )
+            if m.with_aux_seg:
+                # MapTRv2 aux BEV/PV seg masks from the same real geometry
+                # (reference v2 head :234-414; host-side here)
+                from apollo_vision_net_tpu.data.rasterize import (
+                    rasterize_lines_bev, rasterize_lines_pv)
+
+                frame["gt_bev_seg"] = rasterize_lines_bev(
+                    vectors, m.bev_h, m.bev_w, m.map_patch_size,
+                    radius=m.map_aux_seg_radius)
+                ih, iw = frame["img"].shape[1:3]
+                frame["gt_pv_seg"] = rasterize_lines_pv(
+                    vectors, frame["lidar2img"], (ih, iw),
+                    (ih // 16, iw // 16), radius=m.map_aux_pv_radius)
         return frame
 
     def get_queue_sample(self, index: int) -> Dict[str, np.ndarray]:
@@ -154,8 +168,8 @@ class NuScenesTemporalDataset:
         )
         last = frames[-1]
         for key in ("gt_boxes", "gt_labels", "gt_mask", "gt_occupancy",
-                    "map_shift_pts", "map_labels", "map_mask",
-                    "map_order_mask"):
+                    "gt_flow", "map_shift_pts", "map_labels", "map_mask",
+                    "map_order_mask", "gt_bev_seg", "gt_pv_seg"):
             if key in last:
                 sample[key] = last[key]
         return sample

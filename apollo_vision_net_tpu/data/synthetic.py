@@ -110,6 +110,7 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         # Hungarian matching needs GT rows <= query columns
         max_vec = min(d.max_gt_boxes, m.num_map_vec)
         packed = []
+        all_vecs = []
         for b in range(B):
             n_vec = int(rng.integers(1, 5))
             vecs, labels = [], []
@@ -119,6 +120,7 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
                 pts -= pts.mean(0)
                 vecs.append(pts)
                 labels.append(int(rng.integers(0, m.map_num_classes)))
+            all_vecs.append(vecs)
             packed.append(pack_map_gt(
                 vecs, labels, max_vec=max_vec, fixed_num=m.map_num_pts,
                 pattern=m.map_shift_pattern,
@@ -129,10 +131,23 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         batch["map_mask"] = np.stack([p["mask"] for p in packed])
         batch["map_order_mask"] = np.stack([p["order_mask"] for p in packed])
         if m.with_aux_seg:
-            batch["gt_bev_seg"] = rng.integers(
-                0, 2, (B, m.bev_h, m.bev_w)).astype(np.float32)
+            # rasterize the same synthetic vectors so the aux BCE trains on
+            # signal, mirroring the real pipeline (data/rasterize.py)
+            from apollo_vision_net_tpu.data.rasterize import (
+                rasterize_lines_bev, rasterize_lines_pv)
+
             fh, fw = H // 16, W // 16  # finest neck level (stride 16)
-            batch["gt_pv_seg"] = rng.integers(
-                0, 2, (B, N, fh, fw)).astype(np.float32)
+            batch["gt_bev_seg"] = np.stack([
+                rasterize_lines_bev(
+                    all_vecs[b], m.bev_h, m.bev_w, m.map_patch_size,
+                    radius=m.map_aux_seg_radius)
+                for b in range(B)
+            ])
+            batch["gt_pv_seg"] = np.stack([
+                rasterize_lines_pv(
+                    all_vecs[b], lidar2img[b, -1], (H, W), (fh, fw),
+                    radius=m.map_aux_pv_radius)
+                for b in range(B)
+            ])
 
     return batch

@@ -42,6 +42,22 @@ class OccMLPBranch(nn.Module):
         return nn.Dense(self.out_dims)(x)
 
 
+class FlowFuseMLP(nn.Module):
+    """Reference flow_fc: (Linear → LN → ReLU) × num_fcs, occ_dims→occ_dims
+    (bevformer_occupancy_head.py:222-227; no final projection)."""
+
+    occ_dims: int
+    num_fcs: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.num_fcs):
+            x = nn.Dense(self.occ_dims)(x)
+            x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+        return x
+
+
 class CNNUpsample(nn.Module):
     """Apollo upsample_layer: ConvT(s2)→norm→ReLU→1×1(→z·d)→norm→ReLU→
     ConvT(s2)→norm→ReLU (occupancy_head_apollo.py:57-67), NHWC."""
@@ -84,6 +100,10 @@ class BEVFormerOccupancyHead(BEVFormerHead):
     # resolution (reference occ_tsa, occupancy_head_apollo.py:68-144)
     occ_tsa: bool = False
     occ_tsa_layers: int = 1
+    # learned fwd/bwd occupancy-flow warping across the temporal queue
+    # (reference with_occupancy_flow + occupancy_aggregation,
+    # bevformer_occupancy_head.py:218-227, :253-301)
+    with_occupancy_flow: bool = False
 
     @property
     def voxel_num(self) -> int:
@@ -123,6 +143,11 @@ class BEVFormerOccupancyHead(BEVFormerHead):
             self.flow_branches = OccMLPBranch(
                 self.occ_dims, self.flow_dims, self.num_occ_fcs
             )
+        if self.with_occupancy_flow:
+            # Linear(d → 3) voxel flows + fuse MLP (reference :218-227)
+            self.forward_flow = nn.Dense(3, name="forward_flow")
+            self.backward_flow = nn.Dense(3, name="backward_flow")
+            self.flow_fc = FlowFuseMLP(self.occ_dims, self.num_occ_fcs)
 
     def _occ_from_bev(self, bev_embed: jnp.ndarray, mlvl_feats=None,
                       lidar2img=None, deterministic=True) -> jnp.ndarray:
@@ -188,6 +213,61 @@ class BEVFormerOccupancyHead(BEVFormerHead):
             )
         return self.occ_tsa_head(q).reshape(
             B, ox, oy, self.occ_zdim * self.occ_dims)
+
+    def occupancy_aggregation(
+        self,
+        occ_feat: jnp.ndarray,     # (B*S, voxel_num, occ_dims)
+        batch: int,
+        seq_len: int,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Learned fwd/bwd occupancy-flow warping across the queue
+        (reference occupancy_aggregation, bevformer_occupancy_head.py:
+        253-301): each frame's voxel features predict a 3D flow field,
+        the neighbour frame's volume is trilinearly warped along it,
+        blended with a random weight (midpoint when deterministic — the
+        reference keeps torch.rand even at eval), and fused by flow_fc.
+        The backward pass reads the original volumes and the forward pass
+        reads the backward-updated ones, exactly as the reference's two
+        loops do — so each pass is batched over the seq axis here instead
+        of a python loop."""
+        from apollo_vision_net_tpu.ops.grid_sample import grid_sample_3d
+
+        B, S = batch, seq_len
+        zz, xx, yy = self.occ_zdim, self.occ_xdim, self.occ_ydim
+        d = occ_feat.shape[-1]
+        vol = occ_feat.reshape(B, S, zz, xx, yy, d)
+
+        # voxel-center reference positions in [0, 1] (encoder
+        # get_reference_points convention); grid last dim = (x→W=y axis,
+        # y→H=x axis, z→D=z axis) per grid_sample_3d
+        ref = jnp.stack(jnp.meshgrid(
+            (jnp.arange(zz) + 0.5) / zz,
+            (jnp.arange(xx) + 0.5) / xx,
+            (jnp.arange(yy) + 0.5) / yy,
+            indexing="ij",
+        ), axis=-1)[..., ::-1]  # (z, x, y, 3) as (y, x, z) coords
+
+        def mix_weight(name):
+            if deterministic:
+                return jnp.float32(0.5)
+            return jax.random.uniform(self.make_rng(name), ())
+
+        def warp(src, flows):
+            grid = (ref[None, None] + flows) * 2.0 - 1.0
+            return jax.vmap(jax.vmap(grid_sample_3d))(src, grid)
+
+        # backward: frame i pulls from frame i-1 (i >= 1)
+        w = mix_weight("flow_mix")
+        warped = warp(vol[:, :-1], self.backward_flow(vol[:, 1:]))
+        mixed = self.flow_fc(vol[:, 1:] * (1.0 - w) + warped * w)
+        vol = jnp.concatenate([vol[:, :1], mixed], axis=1)
+        # forward: frame i pulls from (backward-updated) frame i+1
+        w = mix_weight("flow_mix")
+        warped = warp(vol[:, 1:], self.forward_flow(vol[:, :-1]))
+        mixed = self.flow_fc(vol[:, :-1] * (1.0 - w) + warped * w)
+        vol = jnp.concatenate([mixed, vol[:, -1:]], axis=1)
+        return vol.reshape(B * S, self.voxel_num, d)
 
     def __call__(
         self,

@@ -57,6 +57,51 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def grid_sample_3d(vol: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sampling of a (D, H, W, C) volume, zero padding.
+
+    grid: (..., 3) normalized coords in [-1, 1], last dim = (x, y, z) with
+    x indexing W, y indexing H, z indexing D (torch 5-D grid_sample
+    convention, align_corners=False). Used by the occupancy flow
+    aggregation (reference bevformer_occupancy_head.py:253-301 warps the
+    (bs, dim, z, x, y) volume with F.grid_sample).
+    """
+    D, H, W, C = vol.shape
+    px = _unnormalize(grid[..., 0], W)
+    py = _unnormalize(grid[..., 1], H)
+    pz = _unnormalize(grid[..., 2], D)
+    x0f, y0f, z0f = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+    fx, fy, fz = px - x0f, py - y0f, pz - z0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    z0 = z0f.astype(jnp.int32)
+
+    flat = vol.reshape(D * H * W, C)
+    out = jnp.zeros(grid.shape[:-1] + (C,), dtype=vol.dtype)
+    for cz in (0, 1):
+        wz = fz if cz else (1 - fz)
+        iz = z0 + cz
+        for cy in (0, 1):
+            wy = fy if cy else (1 - fy)
+            iy = y0 + cy
+            for cx in (0, 1):
+                wx = fx if cx else (1 - fx)
+                ix = x0 + cx
+                valid = (
+                    (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+                    & (iz >= 0) & (iz < D)
+                )
+                idx = (
+                    jnp.clip(iz, 0, D - 1) * (H * W)
+                    + jnp.clip(iy, 0, H - 1) * W
+                    + jnp.clip(ix, 0, W - 1)
+                )
+                vals = jnp.take(flat, idx, axis=0)
+                w = (wx * wy * wz * valid).astype(vol.dtype)
+                out = out + vals * w[..., None]
+    return out
+
+
 def rotate_2d(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     """Rotate (H, W, C) image by `angle_deg` counter-clockwise about its
     center, bilinear, zeros outside — matching torchvision

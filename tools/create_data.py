@@ -153,11 +153,84 @@ def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
         print(f"wrote {len(data)} infos to {out}")
 
 
+def add_map_gt_to_infos(
+    infos_path: str,
+    dataroot: str,
+    out_path: str = "",
+    map_version: int = 1,
+    patch_size=(60.0, 30.0),
+    locations=None,
+) -> str:
+    """Annotate an existing infos pkl with online vector-map GT
+    (`map_vectors` ego-frame polylines + `map_labels` per sample).
+
+    Devkit-free: needs only the map-expansion JSONs under
+    ``<dataroot>/maps/expansion`` and the poses already in the infos
+    (reference extracts the same GT online per batch at dataloading time,
+    nuscenes_det_occ_map_dataset.py:885-966; precomputing into infos keeps
+    the TPU input pipeline free of per-step polygon work — the extraction
+    is deterministic so offline == online).
+    """
+    from apollo_vision_net_tpu.data.infos import lidar2global
+    from apollo_vision_net_tpu.data.map_extract import (
+        VectorizedLocalMap, VectorizedLocalMapV2)
+    from apollo_vision_net_tpu.data.nusc_map import (
+        MAP_LOCATIONS, load_city_maps)
+
+    with open(infos_path, "rb") as f:
+        payload = pickle.load(f)
+    infos = payload["infos"] if isinstance(payload, dict) else payload
+
+    needed = sorted({i.get("map_location", "") for i in infos} - {""})
+    locations = locations if locations is not None else (
+        needed or list(MAP_LOCATIONS))
+    maps = load_city_maps(dataroot, locations)
+    cls = VectorizedLocalMapV2 if map_version == 2 else VectorizedLocalMap
+    vmap = cls(maps, patch_size=tuple(patch_size))
+
+    n_vec = 0
+    for info in infos:
+        loc = info.get("map_location", "")
+        if loc not in maps:
+            info["map_vectors"], info["map_labels"] = [], []
+            continue
+        m = lidar2global(info)
+        yaw = float(np.arctan2(m[1, 0], m[0, 0]))
+        vectors, labels = vmap.gen_vectorized_samples_pose(loc, m[:2, 3], yaw)
+        info["map_vectors"] = vectors
+        info["map_labels"] = labels
+        n_vec += len(vectors)
+
+    out_path = out_path or infos_path
+    with open(out_path, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"annotated {len(infos)} infos with {n_vec} map vectors -> {out_path}")
+    return out_path
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("dataset", choices=["nuscenes"])
+    p.add_argument("dataset", choices=["nuscenes", "nuscenes-map-gt"])
     p.add_argument("--root-path", required=True)
     p.add_argument("--version", default="v1.0-trainval")
-    p.add_argument("--out-dir", required=True)
+    p.add_argument("--out-dir", default="")
+    p.add_argument("--infos", default="", help="infos pkl for nuscenes-map-gt")
+    p.add_argument("--out", default="", help="output pkl (default: in place)")
+    p.add_argument("--map-version", type=int, default=1, choices=[1, 2])
+    p.add_argument("--patch-size", type=float, nargs=2, default=[60.0, 30.0])
     a = p.parse_args()
-    create_nuscenes_infos(a.root_path, a.version, a.out_dir)
+    if a.dataset == "nuscenes":
+        if not a.out_dir:
+            raise SystemExit("--out-dir required for nuscenes conversion")
+        create_nuscenes_infos(a.root_path, a.version, a.out_dir)
+        for split in ("train", "val"):
+            pkl = os.path.join(
+                a.out_dir, f"nuscenes_infos_temporal_{split}.pkl")
+            if os.path.isdir(os.path.join(a.root_path, "maps", "expansion")):
+                add_map_gt_to_infos(
+                    pkl, a.root_path, map_version=a.map_version,
+                    patch_size=a.patch_size)
+    else:  # nuscenes-map-gt: devkit-free annotation of an existing pkl
+        add_map_gt_to_infos(
+            a.infos, a.root_path, out_path=a.out,
+            map_version=a.map_version, patch_size=a.patch_size)

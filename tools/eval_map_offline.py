@@ -20,11 +20,19 @@ def main():
     args = p.parse_args()
 
     from apollo_vision_net_tpu.evaluation.map_eval import evaluate_map
+    from apollo_vision_net_tpu.evaluation import formatting
 
-    with open(args.results, "rb") as f:
-        results = pickle.load(f)
-    with open(args.annotations, "rb") as f:
-        annotations = pickle.load(f)
+    if args.results.endswith(".json"):
+        # nuscmap_results.json layout (tools/test.py --dump-results)
+        results = formatting.load_results_json(args.results)["map"]
+    else:
+        with open(args.results, "rb") as f:
+            results = pickle.load(f)
+    if args.annotations.endswith(".json"):
+        annotations = formatting.load_map_gt_json(args.annotations)
+    else:
+        with open(args.annotations, "rb") as f:
+            annotations = pickle.load(f)
     summary = evaluate_map(results, annotations, metrics=args.metrics)
     print(json.dumps({k: round(v, 6) for k, v in summary.items()}, indent=1))
 

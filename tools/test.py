@@ -16,10 +16,18 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--data", default="synthetic",
                    choices=["synthetic", "nuscenes"])
-    p.add_argument("--num-frames", type=int, default=20)
+    p.add_argument("--infos", default="",
+                   help="nuscenes infos pkl (tools/create_data.py output)")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--img-scale", type=float, default=0.5)
+    p.add_argument("--num-frames", type=int, default=20,
+                   help="frames to evaluate (0 = whole split)")
     p.add_argument("--eval", nargs="+", default=["bbox"],
                    choices=["bbox", "chamfer", "iou"])
     p.add_argument("--out", default=None)
+    p.add_argument("--dump-results", default=None,
+                   help="write raw det/map results (nuscmap_results-style "
+                        "JSON) for offline re-evaluation")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -69,7 +77,52 @@ def main():
         results = run_streaming_eval(cfg, model, state.params, frames)
         metrics = evaluate_results(cfg, results, gt)
     else:
-        raise NotImplementedError("nuscenes eval requires data on disk")
+        # streaming eval over the real split in scene-contiguous order
+        # (reference tools/test.py:314-359: custom_multi_gpu_test ->
+        # dataset.evaluate / evaluate_map / evaluate_occ_iou)
+        if not args.infos:
+            raise SystemExit("--data nuscenes requires --infos <pkl>")
+        from apollo_vision_net_tpu.data import infos as infos_lib
+        from apollo_vision_net_tpu.data.nuscenes_dataset import (
+            NuScenesTemporalDataset, scene_contiguous_eval_indices)
+        from apollo_vision_net_tpu.evaluation import formatting
+
+        ds = NuScenesTemporalDataset(
+            cfg, args.infos, data_root=args.data_root, training=False,
+            img_scale=args.img_scale)
+        idxs = scene_contiguous_eval_indices(ds.infos, 1, 0)
+        if args.num_frames:
+            idxs = idxs[: args.num_frames]
+        frames = []
+        gt = {"det": [], "map": [], "occ": [] if "iou" in args.eval else None}
+        for i in idxs:
+            f = ds.get_frame(i)
+            info = ds.infos[i]
+            l2g = infos_lib.lidar2global(info)
+            frames.append(dict(
+                img=f["img"], can_bus=f["can_bus"],
+                lidar2img=f["lidar2img"], scene_token=f["scene_token"],
+                lidar2global=l2g,
+            ))
+            gt["det"].append(formatting.gt_to_sample_record(
+                f["gt_boxes"], f["gt_labels"], f["gt_mask"], l2g))
+            if cfg.model.with_map:
+                gt["map"].append({
+                    "vectors": [np.asarray(v, np.float32)
+                                for v in info.get("map_vectors", [])],
+                    "labels": np.asarray(
+                        info.get("map_labels", []), np.int32),
+                })
+            if gt["occ"] is not None and "gt_occupancy" in f:
+                gt["occ"].append(f["gt_occupancy"])
+        results = run_streaming_eval(cfg, model, state.params, frames)
+        if gt["occ"] is not None and not gt["occ"]:
+            gt["occ"] = None
+        metrics = evaluate_results(cfg, results, gt)
+        if args.dump_results:
+            from apollo_vision_net_tpu.evaluation.formatting import (
+                dump_results_json)
+            dump_results_json(results, args.dump_results)
 
     print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()},
                      indent=1))

@@ -31,6 +31,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--data", default="synthetic",
                    choices=["synthetic", "nuscenes"])
+    p.add_argument("--infos", default="",
+                   help="nuscenes infos pkl (tools/create_data.py output)")
+    p.add_argument("--data-root", default="",
+                   help="dataset root for relative image paths")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--img-scale", type=float, default=0.5)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
@@ -52,9 +58,33 @@ def main():
     if args.data == "synthetic":
         data = synthetic_iter(cfg, args.batch_size, args.seed)
     else:
-        raise NotImplementedError(
-            "nuscenes loader requires converted infos; see "
-            "apollo_vision_net_tpu/data/infos.py")
+        # dataset -> prefetching loader -> endless epoch iterator
+        # (reference tools/train.py:225-266 builds dataset+loader+runner)
+        if not args.infos:
+            raise SystemExit("--data nuscenes requires --infos <pkl>")
+        from apollo_vision_net_tpu.data.loader import (
+            PrefetchLoader, shuffled_epoch_indices)
+        from apollo_vision_net_tpu.data.nuscenes_dataset import (
+            NuScenesTemporalDataset)
+
+        ds = NuScenesTemporalDataset(
+            cfg, args.infos, data_root=args.data_root, training=True,
+            img_scale=args.img_scale, seed=args.seed)
+        logging.info("nuscenes dataset: %d samples from %s",
+                     len(ds), args.infos)
+
+        def nuscenes_iter():
+            epoch = 0
+            while True:
+                idx = shuffled_epoch_indices(
+                    len(ds), args.seed + epoch, drop_last_to=args.batch_size)
+                loader = PrefetchLoader(
+                    ds.get_queue_sample, idx, args.batch_size,
+                    num_workers=args.num_workers)
+                yield from loader
+                epoch += 1
+
+        data = nuscenes_iter()
 
     eval_fn = None
     if args.eval_interval:
