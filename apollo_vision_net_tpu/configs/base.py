@@ -60,6 +60,14 @@ class ModelConfig:
     occ_head_type: str = "cnn"
     occ_tsa: bool = False
     predict_flow: bool = False
+    # temporal flow warping of occupancy features across the queue
+    # (reference with_occupancy_flow, bevformer_occupancy_head.py:253-301);
+    # implies keep_bev_history (multi-frame occ supervision)
+    with_occupancy_flow: bool = False
+    # supervise occupancy at every queue frame (reference keep_bev_history /
+    # obtain_all_history_bev, detectors/bevformer.py:278-296); the dataset
+    # then provides gt_occupancy of shape (S, voxel_num) per sample
+    keep_bev_history: bool = False
     occ_loss_type: str = "CustomFocalLoss"
     # map (MapTR v1 protocol)
     num_map_vec: int = 50
@@ -188,6 +196,24 @@ def bev_smoke_det_map() -> ExperimentConfig:
             num_cams=2, img_shape=(64, 96), queue_length=2,
             with_map=True, num_map_vec=5, map_num_pts=4,
             map_decoder_layers=2,
+        ),
+        data=DataConfig(max_gt_boxes=8),
+        optim=OptimConfig(warmup_iters=2, total_steps=100),
+    )
+
+
+def bev_smoke_det_occ_flow() -> ExperimentConfig:
+    """CI-sized det+occ with the flow branch, multi-frame occ supervision
+    AND temporal flow aggregation (with_occupancy_flow)."""
+    return ExperimentConfig(
+        name="bev_smoke_det_occ_flow",
+        model=ModelConfig(
+            bev_h=8, bev_w=8, num_query=24, embed_dims=32,
+            encoder_layers=1, decoder_layers=2, feedforward_channels=64,
+            num_cams=2, img_shape=(64, 96), queue_length=2,
+            with_occupancy=True, occ_head_type="mlp",
+            occ_xdim=8, occ_ydim=8, occ_zdim=4, occ_dims=16,
+            predict_flow=True, with_occupancy_flow=True,
         ),
         data=DataConfig(max_gt_boxes=8),
         optim=OptimConfig(warmup_iters=2, total_steps=100),

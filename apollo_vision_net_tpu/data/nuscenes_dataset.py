@@ -22,7 +22,10 @@ from apollo_vision_net_tpu.data import infos as infos_lib
 from apollo_vision_net_tpu.data import pipeline as pipe
 from apollo_vision_net_tpu.data import temporal
 from apollo_vision_net_tpu.data.vector_map import pack_map_gt
-from apollo_vision_net_tpu.data.semantic_kitti import sparse_to_dense
+from apollo_vision_net_tpu.data.semantic_kitti import (
+    sparse_flow_to_dense,
+    sparse_to_dense,
+)
 
 DET_CLASSES = (
     "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
@@ -116,9 +119,17 @@ class NuScenesTemporalDataset:
             if self.data_root and not os.path.isabs(occ_path):
                 occ_path = os.path.join(self.data_root, occ_path)
             sparse = np.load(occ_path)
+            vox = m.occ_zdim * m.occ_xdim * m.occ_ydim
             frame["gt_occupancy"] = sparse_to_dense(
-                sparse, m.occ_zdim * m.occ_xdim * m.occ_ydim,
-                m.occupancy_classes)
+                sparse, vox, m.occupancy_classes)
+            if m.predict_flow and "flow_gt_path" in info:
+                # (n, 2) flow rows aligned with the sparse occ rows
+                # (reference LoadFlowGT, pipelines/loading.py:172-184)
+                flow_path = info["flow_gt_path"]
+                if self.data_root and not os.path.isabs(flow_path):
+                    flow_path = os.path.join(self.data_root, flow_path)
+                frame["gt_flow"] = sparse_flow_to_dense(
+                    sparse, np.load(flow_path), vox)
         if self.load_map_gt:
             vectors = [np.asarray(v, np.float32)
                        for v in info.get("map_vectors", [])]
@@ -172,6 +183,14 @@ class NuScenesTemporalDataset:
                     "map_order_mask", "gt_bev_seg", "gt_pv_seg"):
             if key in last:
                 sample[key] = last[key]
+        m = self.cfg.model
+        if (m.keep_bev_history or m.with_occupancy_flow) and \
+                "gt_occupancy" in last:
+            # multi-frame occ supervision: (S, voxel_num) per sample
+            sample["gt_occupancy"] = np.stack(
+                [f["gt_occupancy"] for f in frames])
+            if "gt_flow" in last:
+                sample["gt_flow"] = np.stack([f["gt_flow"] for f in frames])
         return sample
 
 

@@ -61,12 +61,38 @@ def relabel(raw_labels: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def dense_gt_to_training_labels(dense_xyz: np.ndarray) -> np.ndarray:
+    """Converter-format dense GT (x, y, z; 0=empty, 1..19, 255=invalid) →
+    flat training labels in model voxel order (z, y, x; classes 0..18,
+    empty=19, ignore=255). Reproduces LoadOccupancyGT's semantic-kitti
+    branch (datasets/pipelines/loading.py:143-170: transpose(2,1,0), -1,
+    -1→occupancy_classes, 254→255)."""
+    occ = dense_xyz.transpose(2, 1, 0).astype(np.int32) - 1
+    occ[occ == -1] = OCCUPANCY_CLASSES
+    occ[occ == 254] = 255
+    return occ.reshape(-1)
+
+
 def sparse_to_dense(occ_gt: np.ndarray, voxel_num: int = VOXEL_NUM,
                     empty_label: int = OCCUPANCY_CLASSES) -> np.ndarray:
     """(n, 2) [voxel_index, class] -> dense (voxel_num,) labels."""
     dense = np.full((voxel_num,), empty_label, np.int32)
     if occ_gt.size:
         dense[occ_gt[:, 0].astype(np.int64)] = occ_gt[:, 1]
+    return dense
+
+
+def sparse_flow_to_dense(occ_gt: np.ndarray, flow_gt: np.ndarray,
+                         voxel_num: int = VOXEL_NUM) -> np.ndarray:
+    """Dense (voxel_num, 2) flow from per-occupied-voxel sparse rows.
+
+    The reference's LoadFlowGT (datasets/pipelines/loading.py:172-184) loads
+    an (n, 2) flow npy row-aligned with the sparse occ GT's (n, 2)
+    [voxel_index, class] rows; the head densifies both together
+    (bevformer_occupancy_head.py:795-801, 713-720)."""
+    dense = np.zeros((voxel_num, 2), np.float32)
+    if occ_gt.size and flow_gt.size:
+        dense[occ_gt[:, 0].astype(np.int64)] = flow_gt[:, :2]
     return dense
 
 

@@ -91,18 +91,23 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
 
     if m.with_occupancy:
         vox = m.occ_zdim * m.occ_xdim * m.occ_ydim
+        # multi-frame supervision: every queue frame gets occ GT
+        # (reference keep_bev_history, detectors/bevformer.py:278-296)
+        multi_frame = m.keep_bev_history or m.with_occupancy_flow
+        S = T if multi_frame else 1
         # mostly empty (= occupancy_classes), sparse semantic voxels
-        occ = np.full((B, vox), m.occupancy_classes, np.int32)
+        occ = np.full((B, S, vox), m.occupancy_classes, np.int32)
         n_occ = vox // 20
         for b in range(B):
-            idx = rng.choice(vox, n_occ, replace=False)
-            occ[b, idx] = rng.integers(0, m.occupancy_classes, n_occ)
-        batch["gt_occupancy"] = occ
+            for s in range(S):
+                idx = rng.choice(vox, n_occ, replace=False)
+                occ[b, s, idx] = rng.integers(0, m.occupancy_classes, n_occ)
+        batch["gt_occupancy"] = occ if multi_frame else occ[:, 0]
         if m.predict_flow:
-            flow = np.zeros((B, vox, 2), np.float32)
+            flow = np.zeros((B, S, vox, 2), np.float32)
             obj = occ < 10  # foreground object classes carry flow
             flow[obj] = rng.normal(0, 1.5, (int(obj.sum()), 2))
-            batch["gt_flow"] = flow
+            batch["gt_flow"] = flow if multi_frame else flow[:, 0]
 
     if m.with_map:
         from apollo_vision_net_tpu.data.vector_map import pack_map_gt

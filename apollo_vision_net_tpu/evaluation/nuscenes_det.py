@@ -15,7 +15,7 @@ devkit itself is not installed here):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -181,11 +181,115 @@ def filter_by_range(sample: dict, is_gt: bool) -> dict:
     return out
 
 
+def _mask_sample(sample: dict, keep: np.ndarray) -> dict:
+    """Slice every per-box array field of a sample record by `keep`."""
+    out = {}
+    for k, v in sample.items():
+        arr = np.asarray(v)
+        out[k] = arr[keep] if arr.ndim >= 1 and len(arr) == len(keep) else v
+    return out
+
+
+def filter_by_visibility(gts: Sequence[dict], visibility) -> List[dict]:
+    """Keep GT boxes whose visibility token matches (reference
+    filter_eval_boxes_by_visibility, nuscnes_eval.py:455-484). Records
+    without a 'visibility' field pass through unchanged."""
+    vis_set = {str(v) for v in (
+        visibility if isinstance(visibility, (list, tuple, set))
+        else [visibility])}
+    out = []
+    for g in gts:
+        if "visibility" not in g:
+            out.append(g)
+            continue
+        vis = np.asarray([str(v) for v in g["visibility"]])
+        out.append(_mask_sample(g, np.isin(vis, list(vis_set))))
+    return out
+
+
+def filter_by_tokens(gts: Sequence[dict], keep_tokens) -> List[dict]:
+    """Keep GT boxes by annotation token (reference
+    filter_eval_boxes_by_id, nuscnes_eval.py:423-452)."""
+    keep_tokens = set(keep_tokens)
+    out = []
+    for g in gts:
+        if "tokens" not in g:
+            out.append(g)
+            continue
+        keep = np.asarray([t in keep_tokens for t in g["tokens"]], bool)
+        out.append(_mask_sample(g, keep))
+    return out
+
+
+def filter_by_sample_token(
+    gts: Sequence[dict], preds: Sequence[dict],
+    sample_tokens: Sequence[str], valid_sample_tokens,
+):
+    """Drop whole samples outside the valid set (reference
+    filter_by_sample_token, nuscnes_eval.py:487-492)."""
+    valid = set(valid_sample_tokens)
+    kept = [i for i, t in enumerate(sample_tokens) if t in valid]
+    return ([gts[i] for i in kept], [preds[i] for i in kept],
+            [sample_tokens[i] for i in kept])
+
+
+def filter_by_overlap(
+    gts: Sequence[dict],
+    lidar2img: Sequence[np.ndarray],     # per sample (N_cam, 4, 4)
+    img_hw,                              # (H, W) or per-sample list
+    min_cams: int = 2,
+) -> List[dict]:
+    """Keep GT boxes whose center is visible in >= min_cams cameras
+    (reference filter_eval_boxes_by_overlap, nuscnes_eval.py:495-566:
+    center_in_image per camera, kept when count > 1). Expects records
+    carrying lidar-frame centers as 'translation_lidar' (N, 3); records
+    without it pass through."""
+    out = []
+    for si, g in enumerate(gts):
+        if "translation_lidar" not in g:
+            out.append(g)
+            continue
+        centers = np.asarray(g["translation_lidar"], np.float64)
+        mats = np.asarray(lidar2img[si], np.float64)
+        hw = img_hw[si] if isinstance(img_hw, (list, tuple)) and \
+            not np.isscalar(img_hw[0]) else img_hw
+        h, w = float(hw[0]), float(hw[1])
+        xyz1 = np.concatenate(
+            [centers, np.ones((len(centers), 1))], axis=-1)
+        proj = np.einsum("cij,nj->cni", mats, xyz1)  # (N_cam, N, 4)
+        depth = proj[..., 2]
+        uv = proj[..., :2] / np.clip(depth[..., None], 1e-5, None)
+        vis = (
+            (depth > 1e-5)
+            & (uv[..., 0] >= 0) & (uv[..., 0] <= w - 1)
+            & (uv[..., 1] >= 0) & (uv[..., 1] <= h - 1)
+        )
+        count = vis.sum(axis=0)  # cameras seeing each center
+        out.append(_mask_sample(g, count >= min_cams))
+    return out
+
+
 def evaluate_detection(
     gts: Sequence[dict], preds: Sequence[dict],
     class_names: Sequence[str] = DETECTION_CLASSES,
+    *,
+    gt_visibility=None,
+    valid_sample_tokens=None,
+    sample_tokens: Optional[Sequence[str]] = None,
 ) -> Dict[str, float]:
-    """Full NDS/mAP evaluation over per-sample GT/pred dicts."""
+    """Full NDS/mAP evaluation over per-sample GT/pred dicts.
+
+    Optional GT-filter variants from the custom protocol
+    (nuscnes_eval.py:423-566): `gt_visibility` keeps only GT at the given
+    visibility level(s); `valid_sample_tokens` (+`sample_tokens`)
+    restricts evaluation to a sample subset."""
+    if valid_sample_tokens is not None:
+        toks = list(sample_tokens if sample_tokens is not None
+                    else range(len(gts)))
+        gts, preds, _ = filter_by_sample_token(
+            gts, preds, toks, valid_sample_tokens)
+    if gt_visibility is not None:
+        gts = filter_by_visibility(gts, gt_visibility)
     gts = [filter_by_range(g, True) for g in gts]
     preds = [filter_by_range(p, False) for p in preds]
 

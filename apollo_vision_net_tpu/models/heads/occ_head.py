@@ -293,6 +293,7 @@ class BEVFormerOccupancyHead(BEVFormerHead):
             deterministic=deterministic,
         )
         bev = outs["bev_embed"]
+        seq_len = 1
         if prev_bevs is not None:
             assert not self.occ_tsa, (
                 "occ_tsa and keep_bev_history are mutually exclusive "
@@ -301,10 +302,15 @@ class BEVFormerOccupancyHead(BEVFormerHead):
             # obtain_all_history_bev, detectors/bevformer.py:278-296):
             # every queue frame's BEV is lifted and supervised
             B, S1 = prev_bevs.shape[:2]
+            seq_len = S1 + 1
             seq = jnp.concatenate([prev_bevs, bev[:, None]], axis=1)
-            bev = seq.reshape(B * (S1 + 1), *bev.shape[1:])
+            bev = seq.reshape(B * seq_len, *bev.shape[1:])
         occ_feat = self._occ_from_bev(bev, mlvl_feats, lidar2img,
                                       deterministic)
+        if self.with_occupancy_flow and seq_len > 1:
+            occ_feat = self.occupancy_aggregation(
+                occ_feat, bev.shape[0] // seq_len, seq_len,
+                deterministic=deterministic)
         outs["occupancy_preds"] = self.occ_branches(occ_feat)
         outs["flow_preds"] = (
             self.flow_branches(occ_feat) if self.predict_flow else None

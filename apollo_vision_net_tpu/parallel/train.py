@@ -81,7 +81,8 @@ def build_head(cfg: ExperimentConfig):
     if m.with_occupancy:
         return BEVFormerOccupancyHead(
             occ_head_type=m.occ_head_type, occ_tsa=m.occ_tsa,
-            predict_flow=m.predict_flow, **occ_kw, **common,
+            predict_flow=m.predict_flow,
+            with_occupancy_flow=m.with_occupancy_flow, **occ_kw, **common,
         )
     if m.with_map and m.map_version == 2:
         from apollo_vision_net_tpu.models.heads.map_head_v2 import (
@@ -117,6 +118,7 @@ def build_model(cfg: ExperimentConfig) -> BEVFormer:
         embed_dims=m.embed_dims,
         use_grid_mask=m.use_grid_mask,
         video_test_mode=m.video_test_mode,
+        keep_bev_history=m.keep_bev_history or m.with_occupancy_flow,
         compute_dtype=cfg.compute_dtype,
     )
 
@@ -154,12 +156,12 @@ def loss_fn(
     cfg: ExperimentConfig,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     m = cfg.model
-    d_rng, g_rng = jax.random.split(rng)
+    d_rng, g_rng, f_rng = jax.random.split(rng, 3)
     outs = apply_fn(
         {"params": params},
         batch["img"], batch["can_bus"], batch["lidar2img"], batch["has_prev"],
         deterministic=False,
-        rngs={"dropout": d_rng, "grid_mask": g_rng},
+        rngs={"dropout": d_rng, "grid_mask": g_rng, "flow_mix": f_rng},
     )
     gt = DetGT(batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"])
     if m.with_occupancy:

@@ -113,6 +113,8 @@ def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
         names = []
         vels = []
         valid = []
+        vis = []
+        ann_tokens = []
         from apollo_vision_net_tpu.data.infos import DETECTION_NAME_MAP
         for ann, box in zip(anns, boxes):
             if ann["category_name"] not in DETECTION_NAME_MAP:
@@ -134,10 +136,15 @@ def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
             v = nusc.box_velocity(ann["token"])[:2]
             vels.append(np.nan_to_num(v))
             valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
+            vis.append(ann.get("visibility_token", ""))
+            ann_tokens.append(ann["token"])
         info["gt_boxes"] = np.asarray(gt, np.float32).reshape(-1, 7)
         info["gt_names"] = np.asarray(names)
         info["gt_velocity"] = np.asarray(vels, np.float32).reshape(-1, 2)
         info["valid_flag"] = np.asarray(valid, bool)
+        # eval GT-filter variants need these (nuscnes_eval.py:423-566)
+        info["gt_visibility"] = np.asarray(vis)
+        info["gt_ann_tokens"] = np.asarray(ann_tokens)
         infos.append(info)
 
     train_scenes = set(splits.train if "trainval" in version else splits.mini_train)
@@ -208,9 +215,31 @@ def add_map_gt_to_infos(
     return out_path
 
 
+def create_semantic_kitti(root_path: str, out_dir: str, sequences=None):
+    """SemanticKITTI infos + dense occ-GT npys from the raw sequence files
+    (devkit-free; data/semantic_kitti_reader.py parses .bin/.label/voxels/
+    calib/poses directly)."""
+    from apollo_vision_net_tpu.data.semantic_kitti_reader import (
+        create_semantic_kitti_infos)
+
+    if sequences is None:
+        seq_root = os.path.join(root_path, "sequences")
+        sequences = sorted(
+            d for d in os.listdir(seq_root)
+            if os.path.isdir(os.path.join(seq_root, d)))
+    infos = create_semantic_kitti_infos(
+        root_path, sequences, os.path.join(out_dir, "occ_gt"))
+    out = os.path.join(out_dir, "semantic_kitti_infos.pkl")
+    with open(out, "wb") as f:
+        pickle.dump({"infos": infos,
+                     "metadata": {"version": "semantic-kitti"}}, f)
+    print(f"wrote {len(infos)} infos to {out}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("dataset", choices=["nuscenes", "nuscenes-map-gt"])
+    p.add_argument("dataset",
+                   choices=["nuscenes", "nuscenes-map-gt", "semantic-kitti"])
     p.add_argument("--root-path", required=True)
     p.add_argument("--version", default="v1.0-trainval")
     p.add_argument("--out-dir", default="")
@@ -219,7 +248,11 @@ if __name__ == "__main__":
     p.add_argument("--map-version", type=int, default=1, choices=[1, 2])
     p.add_argument("--patch-size", type=float, nargs=2, default=[60.0, 30.0])
     a = p.parse_args()
-    if a.dataset == "nuscenes":
+    if a.dataset == "semantic-kitti":
+        if not a.out_dir:
+            raise SystemExit("--out-dir required")
+        create_semantic_kitti(a.root_path, a.out_dir)
+    elif a.dataset == "nuscenes":
         if not a.out_dir:
             raise SystemExit("--out-dir required for nuscenes conversion")
         create_nuscenes_infos(a.root_path, a.version, a.out_dir)
