@@ -285,11 +285,104 @@ def bev_base_occ() -> ExperimentConfig:
         model=ModelConfig(
             bev_h=200, bev_w=200, backbone_depth=101,
             backbone_dcn_stages=(False, False, True, True),
+            backbone_out_indices=(1, 2, 3), num_feature_levels=4,
             encoder_layers=6, with_occupancy=True,
             occ_head_type="mlp", occ_xdim=200, occ_ydim=200,
         ),
         compute_dtype="bfloat16",
     )
+
+
+def bev_tiny_det_occ() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_det_occ.py — R50 det+occ
+    (non-Apollo: MLP occ lift, no group-DETR)."""
+    return ExperimentConfig(
+        name="bev_tiny_det_occ",
+        model=ModelConfig(
+            bev_h=50, bev_w=50, with_occupancy=True,
+            occ_head_type="cnn",
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def bev_tiny_occ() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_occ.py — occ-only tiny (R50)."""
+    return ExperimentConfig(
+        name="bev_tiny_occ",
+        model=ModelConfig(
+            bev_h=50, bev_w=50, with_occupancy=True, occ_head_type="cnn",
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def bev_tiny_occ_intern_s() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_tiny_occ_intern_s.py — InternImage-S
+    backbone (channels 80, depths [4,4,21,4]) on the tiny occ config."""
+    return ExperimentConfig(
+        name="bev_tiny_occ_intern_s",
+        model=ModelConfig(
+            bev_h=50, bev_w=50, with_occupancy=True, occ_head_type="cnn",
+            backbone_type="internimage", backbone_out_indices=(3,),
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def bev_base_occ_intern_s() -> ExperimentConfig:
+    """projects/configs/bevformer/bev_base_occ_intern_s.py."""
+    import dataclasses
+
+    cfg = bev_base_occ()
+    return dataclasses.replace(
+        cfg, name="bev_base_occ_intern_s",
+        model=dataclasses.replace(
+            cfg.model, backbone_type="internimage", backbone_depth=50,
+            backbone_dcn_stages=(False,) * 4,
+            backbone_out_indices=(1, 2, 3)))
+
+
+def voxel_base_occ() -> ExperimentConfig:
+    """projects/configs/voxelformer/voxel_base_occ.py — voxel queries at
+    the 100×100×4 base grid."""
+    return ExperimentConfig(
+        name="voxel_base_occ",
+        model=ModelConfig(
+            bev_h=100, bev_w=100, head_family="voxel", bev_z=4,
+            backbone_depth=101,
+            backbone_dcn_stages=(False, False, True, True),
+            with_occupancy=True, occ_dims=32,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def hybrid_base_occ() -> ExperimentConfig:
+    """projects/configs/hybrid/hybrid_base_occ.py — the OccNet cascade at
+    base resolution (100×100 BEV stage 0)."""
+    return ExperimentConfig(
+        name="hybrid_base_occ",
+        model=ModelConfig(
+            bev_h=100, bev_w=100, head_family="hybrid",
+            backbone_depth=101,
+            backbone_dcn_stages=(False, False, True, True),
+            with_occupancy=True, occ_dims=16,
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
+def hybrid_tiny_occ_intern_s() -> ExperimentConfig:
+    """projects/configs/hybrid/hybrid_tiny_occ_intern_s.py."""
+    import dataclasses
+
+    cfg = hybrid_tiny_occ()
+    return dataclasses.replace(
+        cfg, name="hybrid_tiny_occ_intern_s",
+        model=dataclasses.replace(
+            cfg.model, backbone_type="internimage",
+            backbone_out_indices=(3,)))
 
 
 def semantic_kitti_occ() -> ExperimentConfig:

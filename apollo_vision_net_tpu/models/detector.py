@@ -61,6 +61,18 @@ class BEVFormer(nn.Module):
         elif self.backbone_type == "dla":
             self.img_backbone = DLA(
                 out_indices=self.backbone_out_indices, dtype=dtype)
+        elif self.backbone_type == "internimage":
+            from apollo_vision_net_tpu.models.internimage import InternImage
+
+            # InternImage-S (reference *_intern_s configs: channels 80,
+            # depths [4,4,21,4], groups [5,10,20,40])
+            self.img_backbone = InternImage(
+                out_indices=self.backbone_out_indices, dtype=dtype)
+        elif self.backbone_type == "vovnet":
+            from apollo_vision_net_tpu.models.vovnet import VoVNet
+
+            self.img_backbone = VoVNet(
+                out_indices=self.backbone_out_indices, dtype=dtype)
         else:
             raise ValueError(self.backbone_type)
         if self.neck_type == "fpn":

@@ -64,17 +64,23 @@ class CNNUpsample(nn.Module):
 
     embed_dims: int
     out_channels: int  # occ_zdim * occ_dims
+    # total spatial upsampling (reference is hardwired ×4 for 50→200;
+    # other grids, e.g. SemanticKITTI 128→256, need ×2 or ×1)
+    upsample_factor: int = 4
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        x = nn.ConvTranspose(self.embed_dims, (3, 3), strides=(2, 2),
+        assert self.upsample_factor in (1, 2, 4), self.upsample_factor
+        s1 = (2, 2) if self.upsample_factor >= 2 else (1, 1)
+        s2 = (2, 2) if self.upsample_factor >= 4 else (1, 1)
+        x = nn.ConvTranspose(self.embed_dims, (3, 3), strides=s1,
                              padding="SAME")(x)
         x = nn.GroupNorm(num_groups=32)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1))(x)
         x = nn.GroupNorm(num_groups=32)(x)
         x = nn.relu(x)
-        x = nn.ConvTranspose(self.out_channels, (3, 3), strides=(2, 2),
+        x = nn.ConvTranspose(self.out_channels, (3, 3), strides=s2,
                              padding="SAME")(x)
         x = nn.GroupNorm(num_groups=32)(x)
         x = nn.relu(x)
@@ -112,12 +118,14 @@ class BEVFormerOccupancyHead(BEVFormerHead):
     def setup(self):
         super().setup()
         if self.occ_head_type == "cnn":
+            assert self.occ_xdim % self.bev_h == 0, (self.occ_xdim, self.bev_h)
             self.upsample_layer = CNNUpsample(
                 embed_dims=self.embed_dims,
                 out_channels=(
                     self.embed_dims if self.occ_tsa
                     else self.occ_zdim * self.occ_dims
                 ),
+                upsample_factor=self.occ_xdim // self.bev_h,
             )
             if self.occ_tsa:
                 self.occ_tsa_blocks = [
