@@ -59,6 +59,10 @@ class TemporalSelfAttention(nn.Module):
     dropout: float = 0.1
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
+    # row-slab windowing for the Pallas kernel: BEV queries are row-major,
+    # so a 128-query tile spans ~ceil(128/bev_w)+1 grid rows; sampling
+    # offsets add a few cells. Wide outliers fall back exactly.
+    use_slab: bool = True
 
     @nn.compact
     def __call__(
@@ -118,7 +122,11 @@ class TemporalSelfAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
+        (bh, bw) = spatial_shapes[0]
+        slab = (min(bh + 2, 128 // max(bw, 1) + 12) if self.use_slab
+                else None)
+        out = ms_deform_attn(v, spatial_shapes, locations, attn,
+                             impl=self.msda_impl, slab_rows=slab)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
         out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -144,6 +152,7 @@ class MSDeformableAttention3D(nn.Module):
         reference_points: jnp.ndarray,  # (B, Q, D_z, 2) projected pillar pts
         spatial_shapes: Shapes,
         tile_mask: Optional[jnp.ndarray] = None,
+        slab_rows: Optional[int] = None,
     ) -> jnp.ndarray:
         B, Q, C = query.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
@@ -178,7 +187,8 @@ class MSDeformableAttention3D(nn.Module):
         ).reshape(B, Q, H, L, P, 2)
 
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
-                             impl=self.msda_impl, tile_mask=tile_mask)
+                             impl=self.msda_impl, tile_mask=tile_mask,
+                             slab_rows=slab_rows)
         return out  # (B, Q, C) — caller owns masking/projection
 
 
@@ -200,6 +210,10 @@ class SpatialCrossAttention(nn.Module):
     msda_impl: str = "auto"
     bev_hw: Optional[Tuple[int, int]] = None
     q_tile: int = 128
+    # image row-slab windowing: a spatially-compact BEV tile projects into
+    # a band of camera rows; half the (padded) image height covers the vast
+    # majority of tiles (outliers fall back exactly inside the kernel)
+    use_slab: bool = True
 
     @nn.compact
     def __call__(
@@ -257,8 +271,12 @@ class SpatialCrossAttention(nn.Module):
         ref = ref_cam.transpose(1, 0, 2, 3, 4).reshape(
             B * N, Q, ref_cam.shape[3], 2
         )
+        slab = None
+        if self.use_slab and len(spatial_shapes) == 1:
+            slab = max(8, (spatial_shapes[0][0] + 2 + 1) // 2)
         out = inner(q_cam, v_cam, reference_points=ref,
-                    spatial_shapes=spatial_shapes, tile_mask=tile_mask)
+                    spatial_shapes=spatial_shapes, tile_mask=tile_mask,
+                    slab_rows=slab)
         out = out.reshape(B, N, Q, C)
 
         hitf = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)

@@ -263,6 +263,12 @@ class BEVFormerOccupancyHead(BEVFormerHead):
 
         def warp(src, flows):
             grid = (ref[None, None] + flows) * 2.0 - 1.0
+            # optimization_barrier: without it the TPU fusion emitter fuses
+            # the warp gather with surrounding reduce-windows and trips
+            # `window_bounds == strides` check-fails at batch >= 2
+            # (libtpu Jan-2026, reproduced via tools/train.py on
+            # bev_smoke_det_occ_flow); the barrier keeps the gather alone.
+            src, grid = jax.lax.optimization_barrier((src, grid))
             return jax.vmap(jax.vmap(grid_sample_3d))(src, grid)
 
         # backward: frame i pulls from frame i-1 (i >= 1)

@@ -189,6 +189,7 @@ def ms_deform_attn(
     *,
     impl: str = "auto",
     tile_mask: jnp.ndarray | None = None,
+    slab_rows: int | None = None,
 ) -> jnp.ndarray:
     """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}, each with
     an optional '_fast' suffix (single-bf16-pass MXU sampling; pairs with
@@ -198,6 +199,11 @@ def ms_deform_attn(
     query-tile) programs entirely — callers must mask skipped outputs. The
     XLA paths ignore it (they compute everything; downstream masking makes
     the results identical).
+
+    slab_rows (single-level only): when query tiles sample spatially
+    compact row bands of the value grid (BEV self-attention; projected
+    camera bands), the Pallas kernel contracts each tile against only a
+    slab_rows-tall window with an exact full-width fallback for outliers.
     """
     fast = impl.endswith("_fast")
     impl = impl[:-5] if fast else impl
@@ -215,9 +221,11 @@ def ms_deform_attn(
                 value, spatial_shapes, sampling_locations
             )
         ):
+            if len(spatial_shapes) != 1:
+                slab_rows = None
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights,
-                fast, tile_mask,
+                fast, tile_mask, slab_rows,
             )
         return (
             ms_deform_attn_xla_patch(

@@ -155,9 +155,108 @@ def _msda_kernel_v2_masked(
         out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
 
 
+def _msda_kernel_slab(
+    slab_ref,       # scalar prefetch: (B, n_qtiles) int32 flat patch starts
+    wide_ref,       # (B, n_qtiles) int32: 1 -> slab overflow, use full width
+    tmask_ref,      # (B, n_qtiles) int32 tile visibility
+    patch_ref, loc_ref, attn_ref, out_ref,
+    *, spatial_shapes, num_points, head_dim, slab_elems, precision=None,
+):
+    """Row-slab windowed variant (single level).
+
+    The one-hot MXU contraction is O(Q_tile · V_pad); but a spatially
+    compact query tile only samples a narrow band of value ROWS (BEV tiles
+    for TSA, projected image bands for SCA). The caller computes each
+    (batch, tile)'s touched-row interval; this kernel contracts the mask
+    against just that slab (dynamic start, static size), falling back to
+    the exact full-width path for the rare tile whose sampling spread
+    exceeds the slab. Numerically identical to the full kernel: a sample
+    outside the slab can only exist when wide=1, which routes to the full
+    path."""
+    b = pl.program_id(0)
+    q = pl.program_id(2)
+    (h, w) = spatial_shapes[0]
+    wp = w + 2
+    QT = loc_ref.shape[2]
+    P = num_points
+    D = head_dim
+    active = tmask_ref[b, q] > 0
+    wide = wide_ref[b, q] > 0
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
+
+    @pl.when(active & wide)
+    def _():
+        _msda_kernel_v2(
+            patch_ref, loc_ref, attn_ref, out_ref,
+            spatial_shapes=spatial_shapes, num_points=P, head_dim=D,
+            precision=precision,
+        )
+
+    @pl.when(active & jnp.logical_not(wide))
+    def _():
+        base = slab_ref[b, q]
+        patch = patch_ref[0, 0, pl.ds(base, slab_elems), :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (QT, slab_elems), 1)
+        acc = jnp.zeros((QT, D), dtype=jnp.float32)
+        prec = precision or jax.lax.Precision.HIGHEST
+        for p in range(P):
+            px = loc_ref[0, 0, :, 2 * p:2 * p + 1].astype(jnp.float32) * w - 0.5
+            py = loc_ref[0, 0, :, 2 * p + 1:2 * p + 2].astype(jnp.float32) * h - 0.5
+            aw = attn_ref[0, 0, :, p:p + 1].astype(jnp.float32)
+            x0 = jnp.floor(px)
+            y0 = jnp.floor(py)
+            fx = px - x0
+            fy = py - y0
+            x0 = x0.astype(jnp.int32)
+            y0 = y0.astype(jnp.int32)
+            inside = (
+                (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+            ).astype(jnp.float32)
+            idx = (jnp.clip(y0, -1, h - 1) + 1) * wp + (
+                jnp.clip(x0, -1, w - 1) + 1
+            ) - base
+            mask = (col == idx).astype(jnp.float32)
+            rows = jnp.dot(
+                mask, patch.astype(jnp.float32),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            s = aw * inside
+            acc = (
+                acc
+                + rows[:, 0:D] * ((1 - fx) * (1 - fy) * s)
+                + rows[:, D:2 * D] * (fx * (1 - fy) * s)
+                + rows[:, 2 * D:3 * D] * ((1 - fx) * fy * s)
+                + rows[:, 3 * D:4 * D] * (fx * fy * s)
+            )
+        out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H):
+    """Per-(batch, tile) flat slab starts + wide flags from the sampling
+    locations. loc: (B, H, Qp, L*P*2) with L == 1. A tile is 'wide' when
+    its touched flat-index interval does not fit in slab_elems."""
+    (h, w) = spatial_shapes[0]
+    wp = w + 2
+    vp = (h + 2) * wp
+    Qp = loc.shape[2]
+    n_tiles = Qp // q_tile
+    ll = loc.reshape(B, H, n_tiles, q_tile, -1, 2)
+    py = ll[..., 1].astype(jnp.float32) * h - 0.5
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), -1, h - 1) + 1  # [0, h]
+    rmin = y0.min(axis=(1, 3, 4))          # (B, n_tiles)
+    rmax = y0.max(axis=(1, 3, 4)) + 1      # +1: lower bilinear corner row
+    base = (rmin * wp) // 8 * 8            # sublane-aligned flat start
+    base = jnp.clip(base, 0, max(vp - slab_elems, 0))
+    wide = ((rmax + 1) * wp > base + slab_elems).astype(jnp.int32)
+    return base.astype(jnp.int32), wide
+
+
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
-    interpret=False, q_tile=128, tile_mask=None, fast=False,
+    interpret=False, q_tile=128, tile_mask=None, fast=False, slab_rows=None,
 ):
     precision = jax.lax.Precision.DEFAULT if fast else None
     B, V, H, D = value.shape
@@ -183,6 +282,49 @@ def _msda_pallas_fwd_impl(
         interpret=interpret,
         cost_estimate=cost,
     )
+    if slab_rows is not None and L == 1:
+        (h0, w0) = spatial_shapes[0]
+        wp0 = w0 + 2
+        slab_elems = min(((slab_rows * wp0 + 7) // 8) * 8, Vp)
+        n_tiles = Qp // QT
+        base, wide = _slab_bounds(loc, spatial_shapes, QT, slab_elems, B, H)
+        tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
+              else jnp.ones((B, n_tiles), jnp.int32))
+        assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
+        kernel = functools.partial(
+            _msda_kernel_slab,
+            spatial_shapes=shapes_t, num_points=P, head_dim=D,
+            slab_elems=slab_elems, precision=precision,
+        )
+        cost_slab = pl.CostEstimate(
+            flops=2 * B * Qp * H * P * slab_elems * 4 * D,
+            bytes_accessed=cost.bytes_accessed,
+            transcendentals=0,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, H, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, Vp, 4 * D),
+                             lambda b, h, q, s, wf, m: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P * 2),
+                             lambda b, h, q, s, wf, m: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, QT, L * P),
+                             lambda b, h, q, s, wf, m: (b, h, q, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, QT, D),
+                                   lambda b, h, q, s, wf, m: (b, h, q, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=common["out_shape"], interpret=interpret,
+            cost_estimate=cost_slab,
+        )(base, wide, tm, patches, loc, attn)
+        return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
     if tile_mask is not None:
         n_tiles = Qp // QT
         tm = tile_mask.astype(jnp.int32)
@@ -239,7 +381,7 @@ def _msda_pallas_fwd_impl(
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 6))
 def ms_deform_attn_pallas(
     value,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -247,23 +389,24 @@ def ms_deform_attn_pallas(
     attention_weights,
     fast: bool = False,
     tile_mask=None,
+    slab_rows=None,
 ):
     return _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask, fast=fast,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows,
     )
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
-         fast, tile_mask):
+         fast, tile_mask, slab_rows):
     out = _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask, fast=fast,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows,
     )
     return out, (value, sampling_locations, attention_weights, tile_mask)
 
 
-def _bwd(spatial_shapes, fast, residuals, g):
+def _bwd(spatial_shapes, fast, slab_rows, residuals, g):
     # Backward uses the unmasked XLA VJP: skipped tiles only exist where the
     # caller zeroes the output (and hence the cotangent) anyway.
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla

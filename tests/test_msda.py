@@ -120,3 +120,56 @@ def test_dispatch_auto():
     got = np.asarray(ms_deform_attn(value, shapes, locs, attn, impl="xla"))
     want = torch_msda_reference(value, shapes, locs, attn)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_slab_matches_xla_interpret():
+    """Row-slab windowed kernel == full kernel == XLA, including wide-tile
+    fallback and tile skipping."""
+    rng = np.random.default_rng(3)
+    shapes = ((12, 10),)
+    B, H, D, Q, P = 2, 2, 8, 256, 4
+    V = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    # tile 0: rows clustered around 0.3 (narrow); tile 1: full spread (wide)
+    locs = np.empty((B, Q, H, 1, P, 2), np.float32)
+    locs[..., 0] = rng.uniform(-0.1, 1.1, (B, Q, H, 1, P))
+    locs[:, :128, ..., 1] = rng.uniform(0.25, 0.4, (B, 128, H, 1, P))
+    locs[:, 128:, ..., 1] = rng.uniform(-0.2, 1.2, (B, 128, H, 1, P))
+    attn = rng.random((B, Q, H, 1, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, slab_rows=6))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # with tile skipping: skipped tiles are zero, others exact
+    tile_mask = np.array([[True, False], [True, True]])
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, slab_rows=6,
+        tile_mask=jnp.asarray(tile_mask)))
+    np.testing.assert_allclose(got[0, :128], want[0, :128], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[0, 128:] == 0)
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_slab_all_narrow_and_degenerate():
+    """Slab larger than the grid degenerates to the full kernel; every
+    location inside one band stays exact."""
+    rng = np.random.default_rng(4)
+    shapes = ((8, 130),)  # wide rows: wp=132, exercises 8-alignment
+    B, H, D, Q, P = 1, 2, 8, 128, 4
+    V = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    locs = np.empty((B, Q, H, 1, P, 2), np.float32)
+    locs[..., 0] = rng.uniform(0, 1, (B, Q, H, 1, P))
+    locs[..., 1] = rng.uniform(0.5, 0.75, (B, Q, H, 1, P))
+    attn = rng.random((B, Q, H, 1, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    for slab in (4, 100):
+        got = np.asarray(_msda_pallas_fwd_impl(
+            value, shapes, locs, attn, interpret=True, slab_rows=slab))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"slab={slab}")
