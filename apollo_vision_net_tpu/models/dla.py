@@ -101,30 +101,62 @@ class DLA(nn.Module):
     out_indices: Sequence[int] = (3, 4, 5)
     root_residual: bool = False
     dtype: object = jnp.float32
+    # Run the stem (base 7×7 s1 + level0 3×3 s1 + level1 3×3 s2) in 2×2
+    # space-to-depth form — exact same math, same parameter tree, ~16×
+    # better MXU utilization at 3–32 channels and no XLA layout-shuffle
+    # copies (measured ~4 ms/frame of stem copies at 6×480×800). See
+    # ops/s2d.py. Requires even H, W.
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         ch = self.channels
         x = x.astype(self.dtype)
-        x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype, name="base_conv")(x)
-        x = FrozenBatchNorm(name="base_bn")(x)
-        x = nn.relu(x)
         outs = []
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from apollo_vision_net_tpu.ops.s2d import (
+                S2DConv,
+                apply_channelwise_s2d,
+                depth_to_space,
+                space_to_depth,
+            )
 
-        # level0: conv block
-        y = nn.Conv(ch[0], (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name="level0_conv")(x)
-        y = nn.relu(FrozenBatchNorm(name="level0_bn")(y))
-        if 0 in self.out_indices:
-            outs.append(y)
-        # level1: strided conv block
-        y = nn.Conv(ch[1], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                    use_bias=False,
-                    dtype=self.dtype, name="level1_conv")(y)
-        y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
-        if 1 in self.out_indices:
-            outs.append(y)
+            x2 = space_to_depth(x)
+            y2 = S2DConv(ch[0], 7, x.shape[-1], pad=3, dtype=self.dtype,
+                         name="base_conv")(x2)
+            y2 = apply_channelwise_s2d(FrozenBatchNorm(name="base_bn"), y2)
+            y2 = nn.relu(y2)
+            y2 = S2DConv(ch[0], 3, ch[0], pad=1, dtype=self.dtype,
+                         name="level0_conv")(y2)
+            y2 = apply_channelwise_s2d(FrozenBatchNorm(name="level0_bn"), y2)
+            y2 = nn.relu(y2)
+            if 0 in self.out_indices:
+                outs.append(depth_to_space(y2))
+            y = S2DConv(ch[1], 3, ch[0], stride=2, pad=1, dtype=self.dtype,
+                        name="level1_conv")(y2)
+            y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
+            if 1 in self.out_indices:
+                outs.append(y)
+        else:
+            x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="base_conv")(x)
+            x = FrozenBatchNorm(name="base_bn")(x)
+            x = nn.relu(x)
+
+            # level0: conv block
+            y = nn.Conv(ch[0], (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype,
+                        name="level0_conv")(x)
+            y = nn.relu(FrozenBatchNorm(name="level0_bn")(y))
+            if 0 in self.out_indices:
+                outs.append(y)
+            # level1: strided conv block
+            y = nn.Conv(ch[1], (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name="level1_conv")(y)
+            y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
+            if 1 in self.out_indices:
+                outs.append(y)
 
         for i in range(2, 6):
             y = Tree(

@@ -218,7 +218,8 @@ def ms_deform_attn(
         if impl == "pallas" or (
             on_tpu
             and msda_pallas.is_profitable(
-                value, spatial_shapes, sampling_locations
+                value, spatial_shapes, sampling_locations,
+                itemsize=2 if fast else 4,
             )
         ):
             if len(spatial_shapes) != 1:

@@ -39,20 +39,30 @@ def _padded_sizes(spatial_shapes):
     return [(h + 2) * (w + 2) for h, w in spatial_shapes]
 
 
-def is_profitable(value, spatial_shapes, sampling_locations) -> bool:
+def is_profitable(value, spatial_shapes, sampling_locations,
+                  itemsize: int = 4) -> bool:
+    """itemsize: bytes per patch element (2 in fast/bf16 mode — doubles the
+    grid size the kernel covers before falling back to XLA gathers)."""
     B, V, H, D = value.shape
     vp = sum(_padded_sizes(spatial_shapes))
-    if vp * H * 4 * D * 4 > _VMEM_VALUE_LIMIT_BYTES:
+    if vp * H * 4 * D * itemsize > _VMEM_VALUE_LIMIT_BYTES:
         return False
     if max(_padded_sizes(spatial_shapes)) > _MAX_LEVEL_SIZE:
         return False
     return True
 
 
-def _build_patches(value, spatial_shapes):
+def _build_patches(value, spatial_shapes, dtype=None):
     """(B, V, H, D) -> (B, H, Vp, 4*D): zero-padded 2×2 neighbourhoods,
     built head-major so no large transpose follows (the head axis moves
-    while the tensor is still 4× smaller than the patched result)."""
+    while the tensor is still 4× smaller than the patched result).
+
+    ``dtype`` (fast mode: bfloat16) casts BEFORE the expansion, so the
+    patched tensor is built, stored and DMA'd at half width and the kernel's
+    mask contraction runs as a native single-pass bf16 matmul with no
+    per-point operand conversions."""
+    if dtype is not None and value.dtype != dtype:
+        value = value.astype(dtype)
     B, V, H, D = value.shape
     sizes = [h * w for h, w in spatial_shapes]
     starts = np.concatenate([[0], np.cumsum(sizes)])
@@ -86,6 +96,7 @@ def _msda_kernel_v2(
     P = num_points
     D = head_dim
     pstarts = np.concatenate([[0], np.cumsum(_padded_sizes(spatial_shapes))])
+    kdt = patch_ref.dtype  # bf16 in fast mode: native 1-pass MXU contraction
     acc = jnp.zeros((QT, D), dtype=jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         size = int(pstarts[lvl + 1] - pstarts[lvl])
@@ -108,13 +119,13 @@ def _msda_kernel_v2(
             idx = (jnp.clip(y0, -1, h - 1) + 1) * (w + 2) + (
                 jnp.clip(x0, -1, w - 1) + 1
             )
-            mask = (col == idx).astype(jnp.float32)  # one cmp per lane
-            # HIGHEST = bf16x3 (f32-exact selection); DEFAULT = one bf16
-            # pass — values rounded to bf16, 3x fewer MXU passes ("fast"
-            # mode, consistent with bf16 conv trunks)
+            mask = (col == idx).astype(kdt)  # one cmp per lane
+            # exact mode: f32 operands + HIGHEST (f32-exact selection);
+            # fast mode: bf16 patches + bf16 mask -> one native MXU pass,
+            # no per-point operand conversion work
             prec = precision or jax.lax.Precision.HIGHEST
             rows = jnp.dot(
-                mask, patch.astype(jnp.float32),
+                mask, patch,
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )  # (QT, 4D)
@@ -156,11 +167,12 @@ def _msda_kernel_v2_masked(
 
 
 def _msda_kernel_slab(
-    slab_ref,       # scalar prefetch: (B, n_qtiles) int32 flat patch starts
+    slab_ref,       # scalar prefetch: (B, n_qtiles) int32 slab starts / align
     wide_ref,       # (B, n_qtiles) int32: 1 -> slab overflow, use full width
     tmask_ref,      # (B, n_qtiles) int32 tile visibility
     patch_ref, loc_ref, attn_ref, out_ref,
-    *, spatial_shapes, num_points, head_dim, slab_elems, precision=None,
+    *, spatial_shapes, num_points, head_dim, slab_elems, sublane_align,
+    precision=None,
 ):
     """Row-slab windowed variant (single level).
 
@@ -197,8 +209,13 @@ def _msda_kernel_slab(
 
     @pl.when(active & jnp.logical_not(wide))
     def _():
-        base = slab_ref[b, q]
+        # slab_ref carries start // sublane_align; multiplying by the static
+        # align constant in-kernel lets Mosaic PROVE the dynamic vector.load
+        # offset is sublane-aligned (raw SMEM scalars have no divisibility
+        # info -> "cannot statically prove index is a multiple of 8").
+        base = slab_ref[b, q] * sublane_align
         patch = patch_ref[0, 0, pl.ds(base, slab_elems), :]
+        kdt = patch_ref.dtype
         col = jax.lax.broadcasted_iota(jnp.int32, (QT, slab_elems), 1)
         acc = jnp.zeros((QT, D), dtype=jnp.float32)
         prec = precision or jax.lax.Precision.HIGHEST
@@ -218,9 +235,9 @@ def _msda_kernel_slab(
             idx = (jnp.clip(y0, -1, h - 1) + 1) * wp + (
                 jnp.clip(x0, -1, w - 1) + 1
             ) - base
-            mask = (col == idx).astype(jnp.float32)
+            mask = (col == idx).astype(kdt)
             rows = jnp.dot(
-                mask, patch.astype(jnp.float32),
+                mask, patch,
                 preferred_element_type=jnp.float32, precision=prec,
             )
             s = aw * inside
@@ -234,10 +251,13 @@ def _msda_kernel_slab(
         out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
 
 
-def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H):
+def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H, align=8):
     """Per-(batch, tile) flat slab starts + wide flags from the sampling
     locations. loc: (B, H, Qp, L*P*2) with L == 1. A tile is 'wide' when
-    its touched flat-index interval does not fit in slab_elems."""
+    its touched flat-index interval does not fit in slab_elems.
+
+    align: sublane alignment of the dynamic start — 8 for f32 patches,
+    16 for bf16 (TPU (16, 128) tiling)."""
     (h, w) = spatial_shapes[0]
     wp = w + 2
     vp = (h + 2) * wp
@@ -248,10 +268,14 @@ def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H):
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), -1, h - 1) + 1  # [0, h]
     rmin = y0.min(axis=(1, 3, 4))          # (B, n_tiles)
     rmax = y0.max(axis=(1, 3, 4)) + 1      # +1: lower bilinear corner row
-    base = (rmin * wp) // 8 * 8            # sublane-aligned flat start
+    base = (rmin * wp) // align * align    # sublane-aligned flat start
     base = jnp.clip(base, 0, max(vp - slab_elems, 0))
+    base = base // align * align           # re-align: the clip cap (vp -
+    #                                        slab_elems) need not be aligned
     wide = ((rmax + 1) * wp > base + slab_elems).astype(jnp.int32)
-    return base.astype(jnp.int32), wide
+    # the kernel rebuilds base as (base // align) * align so Mosaic can prove
+    # the dynamic-slice alignment — return it pre-divided
+    return (base // align).astype(jnp.int32), wide
 
 
 def _msda_pallas_fwd_impl(
@@ -269,7 +293,10 @@ def _msda_pallas_fwd_impl(
     if Qp != Q:
         loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
         attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
-    patches = _build_patches(value, spatial_shapes)  # (B, H, Vp, 4D)
+    patches = _build_patches(
+        value, spatial_shapes,
+        dtype=jnp.bfloat16 if fast else None,
+    )  # (B, H, Vp, 4D)
     Vp = patches.shape[2]
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
     cost = pl.CostEstimate(
@@ -285,16 +312,19 @@ def _msda_pallas_fwd_impl(
     if slab_rows is not None and L == 1:
         (h0, w0) = spatial_shapes[0]
         wp0 = w0 + 2
-        slab_elems = min(((slab_rows * wp0 + 7) // 8) * 8, Vp)
+        align = 16 if patches.dtype == jnp.bfloat16 else 8
+        slab_elems = min(((slab_rows * wp0 + align - 1) // align) * align, Vp)
         n_tiles = Qp // QT
-        base, wide = _slab_bounds(loc, spatial_shapes, QT, slab_elems, B, H)
+        base, wide = _slab_bounds(loc, spatial_shapes, QT, slab_elems, B, H,
+                                  align=align)
         tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
               else jnp.ones((B, n_tiles), jnp.int32))
         assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
         kernel = functools.partial(
             _msda_kernel_slab,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
-            slab_elems=slab_elems, precision=precision,
+            slab_elems=slab_elems, sublane_align=align,
+            precision=precision,
         )
         cost_slab = pl.CostEstimate(
             flops=2 * B * Qp * H * P * slab_elems * 4 * D,

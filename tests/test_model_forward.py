@@ -79,3 +79,25 @@ def test_streaming_inference_carries_state(tiny_model_and_inputs):
     assert bev0.shape == bev1.shape == (1, 64, 32)
     assert not np.allclose(np.asarray(outs0["all_cls_scores"]),
                            np.asarray(outs1["all_cls_scores"]))
+
+
+def test_dla_s2d_stem_exact():
+    """The space-to-depth stem (ops/s2d.py) is an exact algebraic rewrite:
+    same parameter tree, same outputs as the direct-conv stem."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from apollo_vision_net_tpu.models.dla import DLA
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float32)
+    m_direct = DLA(out_indices=(0, 1, 3, 4, 5), stem_s2d=False)
+    m_s2d = DLA(out_indices=(0, 1, 3, 4, 5), stem_s2d=True)
+    params = m_direct.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(  # identical trees -> s2d path accepts direct-path params
+        lambda a, b: None, params, m_s2d.init(jax.random.PRNGKey(0), x))
+    outs_d = m_direct.apply(params, x)
+    outs_s = m_s2d.apply(params, x)
+    for od, os_ in zip(outs_d, outs_s):
+        np.testing.assert_allclose(np.asarray(od), np.asarray(os_),
+                                   rtol=2e-4, atol=2e-4)

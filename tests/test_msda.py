@@ -173,3 +173,20 @@ def test_pallas_slab_all_narrow_and_degenerate():
             value, shapes, locs, attn, interpret=True, slab_rows=slab))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=f"slab={slab}")
+
+
+def test_pallas_fast_bf16_close():
+    """Fast mode (bf16 patches + bf16 one-hot mask, single MXU pass) stays
+    within bf16 rounding of the exact kernel, slab and full paths."""
+    rng = np.random.default_rng(5)
+    value, shapes, locs, attn = make_inputs(
+        rng, B=2, H=2, D=8, Q=256, P=4, spatial_shapes=((12, 10),))
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    for slab in (None, 6):
+        got = np.asarray(_msda_pallas_fwd_impl(
+            value, shapes, locs, attn, interpret=True, fast=True,
+            slab_rows=slab))
+        # bf16 has ~3 decimal digits; weighted sums of O(1) values
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05,
+                                   err_msg=f"slab={slab}")
+        assert got.dtype == want.dtype == np.float32
