@@ -47,6 +47,9 @@ class ModelConfig:
     attn_logits_clamp: Optional[float] = None
     video_test_mode: bool = True
     msda_impl: str = "auto"
+    # transformer-trunk activation dtype; None -> follow compute_dtype
+    # (conv trunk). Pin "float32" for exact-parity runs on bf16 configs.
+    transformer_dtype: Optional[str] = None
     bev_partition: Optional[Tuple[Optional[str], ...]] = None
     # tasks
     with_occupancy: bool = False

@@ -17,6 +17,13 @@ TPU-first deviations (documented in DEVIATIONS.md):
   bs > 1 (temporal_self_attention.py:203 takes ``value[:bs]``).
 
 All modules are batch-first and keep softmax/attention math in fp32.
+
+``dtype`` on every module is the ACTIVATION compute dtype (params stay
+f32): bf16 halves the HBM traffic of the Dense/FFN/LayerNorm chain and
+runs the projections as native MXU bf16 matmuls. Precision-critical
+arithmetic is pinned to f32 regardless: softmax logits, sampling-location
+accumulation (bf16's 8 mantissa bits would quantize normalized grid
+coords by ~0.4 cell at 50x50), and the MSDA kernel's output accumulator.
 """
 from __future__ import annotations
 
@@ -63,6 +70,7 @@ class TemporalSelfAttention(nn.Module):
     # so a 128-query tile spans ~ceil(128/bev_w)+1 grid rows; sampling
     # offsets add a few cells. Wide outliers fall back exactly.
     use_slab: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -75,19 +83,22 @@ class TemporalSelfAttention(nn.Module):
         spatial_shapes: Shapes,             # ((bev_h, bev_w),)
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
+        value = value.astype(self.dtype)
         B, Q, C = query.shape
         H, L, P, NQ = self.num_heads, self.num_levels, self.num_points, self.num_bev_queue
         assert NQ == 2
         identity = query
         if query_pos is not None:
-            query = query + query_pos
+            query = query + query_pos.astype(self.dtype)
 
         # offsets/weights are predicted from [prev_bev_value, query] concat
         # (reference :203)
         q_in = jnp.concatenate([value[:, 0], query], axis=-1)  # (B, Q, 2C)
 
         value_flat = value.reshape(B * NQ, Q, C)
-        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value_flat)
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                     name="value_proj")(value_flat)
         v = v.reshape(B * NQ, Q, H, C // H)
 
         offsets = nn.Dense(
@@ -96,12 +107,14 @@ class TemporalSelfAttention(nn.Module):
             bias_init=lambda *_: jnp.asarray(
                 grid_offset_bias(H, L * NQ, P)
             ),
+            dtype=self.dtype,
             name="sampling_offsets",
-        )(q_in).reshape(B, Q, H, NQ, L, P, 2)
+        )(q_in).astype(jnp.float32).reshape(B, Q, H, NQ, L, P, 2)
         attn = nn.Dense(
             NQ * H * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="attention_weights",
         )(q_in).reshape(B, Q, H, NQ, L * P)
         if self.attn_logits_clamp is not None:
@@ -128,7 +141,8 @@ class TemporalSelfAttention(nn.Module):
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
                              impl=self.msda_impl, slab_rows=slab)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
-        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                       name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out + identity
 
@@ -142,6 +156,7 @@ class MSDeformableAttention3D(nn.Module):
     num_levels: int = 1
     num_points: int = 8  # total across z-anchors; must be divisible by D_z
     msda_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -154,23 +169,28 @@ class MSDeformableAttention3D(nn.Module):
         tile_mask: Optional[jnp.ndarray] = None,
         slab_rows: Optional[int] = None,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
+        value = value.astype(self.dtype)
         B, Q, C = query.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
         V = value.shape[1]
 
-        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                     name="value_proj")(value)
         v = v.reshape(B, V, H, C // H)
 
         offsets = nn.Dense(
             H * L * P * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
+            dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(B, Q, H, L, P, 2)
+        )(query).astype(jnp.float32).reshape(B, Q, H, L, P, 2)
         attn = nn.Dense(
             H * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
@@ -214,6 +234,7 @@ class SpatialCrossAttention(nn.Module):
     # a band of camera rows; half the (padded) image height covers the vast
     # majority of tiles (outliers fall back exactly inside the kernel)
     use_slab: bool = True
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -227,11 +248,13 @@ class SpatialCrossAttention(nn.Module):
         spatial_shapes: Shapes,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
+        value = value.astype(self.dtype)
         B, Q, C = query.shape
         N = self.num_cams
         identity = query
         if query_pos is not None:
-            query = query + query_pos
+            query = query + query_pos.astype(self.dtype)
 
         ref_cam = reference_points_cam
         hit = jnp.any(bev_mask, axis=-1)  # (N, B, Q)
@@ -262,6 +285,7 @@ class SpatialCrossAttention(nn.Module):
             num_levels=self.num_levels,
             num_points=self.num_points,
             msda_impl=self.msda_impl,
+            dtype=self.dtype,
             name="deformable_attention",
         )
         # fold cameras into batch; queries broadcast to every camera (the
@@ -286,7 +310,8 @@ class SpatialCrossAttention(nn.Module):
         if inv_perm is not None:
             out = out[:, inv_perm]
 
-        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                       name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out + identity
 
@@ -301,6 +326,7 @@ class CustomMSDeformableAttention(nn.Module):
     num_points: int = 4
     dropout: float = 0.1
     msda_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -313,26 +339,31 @@ class CustomMSDeformableAttention(nn.Module):
         spatial_shapes: Shapes,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
+        value = value.astype(self.dtype)
         B, Q, C = query.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
         V = value.shape[1]
         identity = query
         if query_pos is not None:
-            query = query + query_pos
+            query = query + query_pos.astype(self.dtype)
 
-        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                     name="value_proj")(value)
         v = v.reshape(B, V, H, C // H)
 
         offsets = nn.Dense(
             H * L * P * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
+            dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(B, Q, H, L, P, 2)
+        )(query).astype(jnp.float32).reshape(B, Q, H, L, P, 2)
         attn = nn.Dense(
             H * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="attention_weights",
         )(query).reshape(B, Q, H, L * P)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
@@ -340,11 +371,12 @@ class CustomMSDeformableAttention(nn.Module):
 
         normalizer = np.array([[w, h] for h, w in spatial_shapes], np.float32)
         locations = (
-            reference_points[:, :, None, None, None, :]
+            reference_points.astype(jnp.float32)[:, :, None, None, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
         out = ms_deform_attn(v, spatial_shapes, locations, attn, impl=self.msda_impl)
-        out = nn.Dense(C, kernel_init=_xavier_uniform(), name="output_proj")(out)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
+                       name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out + identity
 
@@ -355,6 +387,7 @@ class MultiheadAttention(nn.Module):
     embed_dims: int = 256
     num_heads: int = 8
     dropout: float = 0.1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -365,14 +398,17 @@ class MultiheadAttention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
         identity = query
-        q = query + query_pos if query_pos is not None else query
+        q = (query + query_pos.astype(self.dtype)
+             if query_pos is not None else query)
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.embed_dims,
             out_features=self.embed_dims,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
             name="attn",
         )(inputs_q=q, inputs_k=q, inputs_v=query, mask=attn_mask)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -385,13 +421,15 @@ class FFN(nn.Module):
     embed_dims: int = 256
     feedforward_channels: int = 512
     dropout: float = 0.1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         identity = x
-        y = nn.Dense(self.feedforward_channels)(x)
+        y = nn.Dense(self.feedforward_channels, dtype=self.dtype)(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.Dense(self.embed_dims)(y)
+        y = nn.Dense(self.embed_dims, dtype=self.dtype)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return y + identity

@@ -31,6 +31,7 @@ class DetrDecoderLayer(nn.Module):
     feedforward_channels: int = 512
     dropout: float = 0.1
     msda_impl: str = "auto"
+    dtype: object = jnp.float32
     # Group-DETR (reference bevformer/modules/group_attention.py:148-157):
     # during training the query set is `self_attn_groups` independent groups
     # folded into the batch so self-attention cannot mix groups.
@@ -48,12 +49,16 @@ class DetrDecoderLayer(nn.Module):
         self_attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        query = query.astype(self.dtype)
+        query_pos = query_pos.astype(self.dtype)
+        memory = memory.astype(self.dtype)
         B, Q, C = query.shape
         G = self.self_attn_groups if (Q % self.self_attn_groups == 0) else 1
         mha = MultiheadAttention(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="self_attn",
         )
         if G > 1:
@@ -64,7 +69,7 @@ class DetrDecoderLayer(nn.Module):
         else:
             q = mha(query, query_pos=query_pos, attn_mask=self_attn_mask,
                     deterministic=deterministic)
-        q = nn.LayerNorm(name="norm1")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(q)
         q = CustomMSDeformableAttention(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
@@ -72,17 +77,19 @@ class DetrDecoderLayer(nn.Module):
             num_points=self.num_points,
             dropout=self.dropout,
             msda_impl=self.msda_impl,
+            dtype=self.dtype,
             name="cross_attn",
         )(q, memory, query_pos=query_pos, reference_points=reference_points,
           spatial_shapes=spatial_shapes, deterministic=deterministic)
-        q = nn.LayerNorm(name="norm2")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm2")(q)
         q = FFN(
             embed_dims=self.embed_dims,
             feedforward_channels=self.feedforward_channels,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="ffn",
         )(q, deterministic=deterministic)
-        q = nn.LayerNorm(name="norm3")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm3")(q)
         return q
 
 
@@ -98,6 +105,7 @@ class DetectionTransformerDecoder(nn.Module):
     dropout: float = 0.1
     msda_impl: str = "auto"
     self_attn_groups: int = 1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -124,6 +132,7 @@ class DetectionTransformerDecoder(nn.Module):
                 dropout=self.dropout,
                 msda_impl=self.msda_impl,
                 self_attn_groups=self.self_attn_groups,
+                dtype=self.dtype,
                 name=f"layer{lid}",
             )(
                 out, memory,

@@ -42,6 +42,7 @@ class BEVFormerLayer(nn.Module):
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
     bev_hw: Optional[Tuple[int, int]] = None
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -65,6 +66,7 @@ class BEVFormerLayer(nn.Module):
             num_points=self.num_points_tsa,
             attn_logits_clamp=self.attn_logits_clamp,
             msda_impl=self.msda_impl,
+            dtype=self.dtype,
             name="tsa",
         )(
             bev_query, tsa_value,
@@ -73,7 +75,7 @@ class BEVFormerLayer(nn.Module):
             spatial_shapes=bev_spatial_shapes,
             deterministic=deterministic,
         )
-        q = nn.LayerNorm(name="norm1")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(q)
         q = SpatialCrossAttention(
             embed_dims=self.embed_dims,
             num_cams=self.num_cams,
@@ -82,6 +84,7 @@ class BEVFormerLayer(nn.Module):
             num_points=self.num_points_sca,
             msda_impl=self.msda_impl,
             bev_hw=self.bev_hw,
+            dtype=self.dtype,
             name="sca",
         )(
             q, img_value,
@@ -91,14 +94,15 @@ class BEVFormerLayer(nn.Module):
             spatial_shapes=img_spatial_shapes,
             deterministic=deterministic,
         )
-        q = nn.LayerNorm(name="norm2")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm2")(q)
         q = FFN(
             embed_dims=self.embed_dims,
             feedforward_channels=self.feedforward_channels,
             dropout=self.ffn_dropout,
+            dtype=self.dtype,
             name="ffn",
         )(q, deterministic=deterministic)
-        q = nn.LayerNorm(name="norm3")(q)
+        q = nn.LayerNorm(dtype=self.dtype, name="norm3")(q)
         return q
 
 
@@ -115,6 +119,7 @@ class BEVFormerEncoder(nn.Module):
     attn_logits_clamp: Optional[float] = None
     shift_current_refs: bool = True  # reproduce encoder.py:309-311 alias bug
     msda_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -134,13 +139,19 @@ class BEVFormerEncoder(nn.Module):
         bev_mask: jnp.ndarray,              # (N_cam, B, Q, D_z)
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        bev_query = bev_query.astype(self.dtype)
+        bev_pos = bev_pos.astype(self.dtype)
+        prev_bev = prev_bev.astype(self.dtype)
+        img_value = img_value.astype(self.dtype)
         B, Q, C = bev_query.shape
-        hp = has_prev[:, None, None]
+        hp = has_prev[:, None, None].astype(self.dtype)
         # frame-0 parity: value slots both = current query, shift = 0
         shift = shift * has_prev[:, None]
 
-        ref = jnp.broadcast_to(ref_2d[None], (B, Q, 2))
-        ref_shifted = ref + shift[:, None, :]
+        # reference points stay f32: normalized grid coords quantize badly
+        # in bf16 (~0.4 cell at 50x50)
+        ref = jnp.broadcast_to(ref_2d.astype(jnp.float32)[None], (B, Q, 2))
+        ref_shifted = ref + shift.astype(jnp.float32)[:, None, :]
         ref_prev = ref_shifted
         ref_cur = ref_shifted if self.shift_current_refs else ref
         tsa_refs = jnp.stack([ref_prev, ref_cur], axis=1)[:, :, :, None, :]
@@ -163,6 +174,7 @@ class BEVFormerEncoder(nn.Module):
                 attn_logits_clamp=self.attn_logits_clamp,
                 msda_impl=self.msda_impl,
                 bev_hw=(bev_h, bev_w),
+                dtype=self.dtype,
                 name=f"layer{lid}",
             )(
                 q, img_value,

@@ -74,6 +74,9 @@ class BEVFormerHead(nn.Module):
     shift_current_refs: bool = True
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
+    # transformer-trunk activation dtype ("float32" | "bfloat16"); follows
+    # the conv trunk's compute_dtype by default (see parallel/train.py)
+    transformer_dtype: str = "float32"
     # Group-DETR (occupancy_head_apollo.py:40-49): num_query is the TOTAL
     # (per-group × group_detr); at inference only the first group is used.
     group_detr: int = 1
@@ -104,7 +107,10 @@ class BEVFormerHead(nn.Module):
             row_num_embed=self.bev_h,
             col_num_embed=self.bev_w,
         )
+        tdt = (jnp.bfloat16 if self.transformer_dtype == "bfloat16"
+               else jnp.float32)
         self.transformer = PerceptionTransformer(
+            dtype=tdt,
             embed_dims=self.embed_dims,
             num_feature_levels=self.num_feature_levels,
             num_cams=self.num_cams,

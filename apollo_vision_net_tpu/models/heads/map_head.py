@@ -43,6 +43,7 @@ class MapTRDecoder(nn.Module):
     feedforward_channels: int = 512
     dropout: float = 0.1
     msda_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -67,6 +68,7 @@ class MapTRDecoder(nn.Module):
                 feedforward_channels=self.feedforward_channels,
                 dropout=self.dropout,
                 msda_impl=self.msda_impl,
+                dtype=self.dtype,
                 name=f"layer{lid}",
             )(
                 out, memory,
@@ -127,6 +129,8 @@ class BEVFormerDetMapHead(BEVFormerHead):
             embed_dims=self.embed_dims,
             feedforward_channels=self.feedforward_channels,
             msda_impl=self.msda_impl,
+            dtype=(jnp.bfloat16 if self.transformer_dtype == "bfloat16"
+                   else jnp.float32),
         )
         self.map_cls_branches = [
             ClsBranch(self.embed_dims, self.map_num_classes,

@@ -55,6 +55,9 @@ class PerceptionTransformer(nn.Module):
     attn_logits_clamp: Optional[float] = None
     dropout: float = 0.1
     msda_impl: str = "auto"
+    # activation dtype of the transformer trunk (params stay f32; softmax,
+    # reference points and box/refinement arithmetic are pinned f32)
+    dtype: object = jnp.float32
 
     def setup(self):
         self.level_embeds = self.param(
@@ -83,6 +86,7 @@ class PerceptionTransformer(nn.Module):
             attn_logits_clamp=self.attn_logits_clamp,
             shift_current_refs=self.shift_current_refs,
             msda_impl=self.msda_impl,
+            dtype=self.dtype,
         )
         self.decoder = DetectionTransformerDecoder(
             num_layers=self.decoder_layers,
@@ -92,6 +96,7 @@ class PerceptionTransformer(nn.Module):
             dropout=self.dropout,
             msda_impl=self.msda_impl,
             self_attn_groups=self.decoder_self_attn_groups,
+            dtype=self.dtype,
         )
         self.reference_points_fc = nn.Dense(
             3, kernel_init=nn.initializers.variance_scaling(
@@ -159,7 +164,10 @@ class PerceptionTransformer(nn.Module):
         img_value, img_shapes = self._flatten_img_feats(mlvl_feats)
 
         # debug_nan probe at the encoder boundary (reference
-        # transformer.py:134-149); identity unless debug.enable_probes()
+        # transformer.py:134-149); identity unless debug.enable_probes().
+        # bev_embed leaves the trunk in f32: it is the temporal carry
+        # (prev_bev) and the multi-head shared memory — the bf16 interior
+        # never accumulates across frames.
         return debug.probe("encoder.bev_embed", self.encoder(
             queries, img_value,
             bev_pos=jnp.broadcast_to(bev_pos[None], (B, Q, C)),
@@ -173,7 +181,7 @@ class PerceptionTransformer(nn.Module):
             reference_points_cam=reference_points_cam,
             bev_mask=bev_mask,
             deterministic=deterministic,
-        ))
+        ).astype(jnp.float32))
 
     def __call__(
         self,

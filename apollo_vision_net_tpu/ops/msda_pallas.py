@@ -2,18 +2,18 @@
 
 TPU-first design — NOT a translation of the CUDA kernel
 (reference mmcv ``ms_deform_attn``): TPUs do per-row gathers at a fixed
-~17 ns/row (measured, v5e), so instead each grid program materializes a 0/1
-selection mask ``M ∈ {0,1}^{Q_tile × V_pad}`` on the VPU (ONE compare per
-lane per sampling point — the 4 bilinear corners share one index because
-the value tensor is pre-expanded into zero-padded 2×2 patches), contracts it
-against the level's patch block with an MXU matmul, and applies the four
-corner weights to the resulting (Q_tile, 4·D) row blocks on the VPU.
+~17 ns/row (measured, v5e), so instead each grid program materializes a
+weighted scatter mask ``W ∈ R^{Q_tile × V_pad}`` on the VPU — every
+sampling point deposits its 4 bilinear-corner weights × attention weight at
+the corner cells' flat indices (4 compares per point) — and contracts it
+against the level's 1-ring zero-padded value block with ONE MXU matmul per
+level: ``out = W @ value``. The bilinear/attention algebra rides inside the
+mask, so the MXU streams each value element once per tile instead of P
+times through 4·D-wide patch columns (the v2 design, kept for A/B: one 0/1
+mask + one dot per point against a 2×2-patch-expanded operand).
 
-The patch expansion (pad each (h, w) level by 1, stack the 2×2
-neighbourhood into 4·D channels) happens outside the kernel with two rolls —
-dense, bandwidth-cheap — and makes grid_sample's zero-padding semantics
-exact. The whole patched value for one batch element lives in VMEM, so the
-kernel covers BEV grids ≤ ~64×64 and image pyramids of similar size; larger
+The padded value for one batch element lives in VMEM, so the kernel covers
+BEV grids ≤ ~128×128 (bf16) and image pyramids of similar size; larger
 operands fall back to the XLA patch-gather path in ``msda.py``.
 
 Differentiation: forward runs the Pallas kernel; backward reuses the VJP of
@@ -41,11 +41,13 @@ def _padded_sizes(spatial_shapes):
 
 def is_profitable(value, spatial_shapes, sampling_locations,
                   itemsize: int = 4) -> bool:
-    """itemsize: bytes per patch element (2 in fast/bf16 mode — doubles the
-    grid size the kernel covers before falling back to XLA gathers)."""
+    """itemsize: bytes per operand element (2 in fast/bf16 mode — doubles
+    the grid size the kernel covers before falling back to XLA gathers).
+    The scatter-mask kernel holds the 1-ring padded value (Vp, D) per head
+    in VMEM (not the 4D-wide patch expansion)."""
     B, V, H, D = value.shape
     vp = sum(_padded_sizes(spatial_shapes))
-    if vp * H * 4 * D * itemsize > _VMEM_VALUE_LIMIT_BYTES:
+    if vp * H * D * itemsize > _VMEM_VALUE_LIMIT_BYTES:
         return False
     if max(_padded_sizes(spatial_shapes)) > _MAX_LEVEL_SIZE:
         return False
@@ -78,6 +80,156 @@ def _build_patches(value, spatial_shapes, dtype=None):
         patch = jnp.concatenate([vp, p01, p10, p11], axis=-1)  # (...,4D)
         out.append(patch.reshape(B, H, (h + 2) * (w + 2), 4 * D))
     return jnp.concatenate(out, axis=2)
+
+
+def _build_padded_value(value, spatial_shapes, dtype=None):
+    """(B, V, H, D) -> (B, H, Vp, D): per-level zero-padded (+1 ring) value,
+    head-major. The scatter-mask (v3) kernel contracts directly against this
+    — 4× less VMEM and DMA than the 2×2 patch expansion."""
+    if dtype is not None and value.dtype != dtype:
+        value = value.astype(dtype)
+    B, V, H, D = value.shape
+    sizes = [h * w for h, w in spatial_shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.slice_in_dim(
+            value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
+        ).reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
+        vp = jnp.pad(v, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+        out.append(vp.reshape(B, H, (h + 2) * (w + 2), D))
+    return jnp.concatenate(out, axis=2)
+
+
+def _weighted_mask(loc_ref, attn_ref, *, lvl, num_points, h, w, QT, S, base):
+    """Combined (QT, S) f32 scatter mask for one level. The MSDA output is
+    then ONE contraction ``mask @ value`` per level — the bilinear/attention
+    algebra rides inside the mask instead of 4·D-wide patch columns, so the
+    MXU streams D-wide (not 4D-wide) operands once (not P times).
+
+    The bilinear weight is SEPARABLE: on the 1-ring zero-padded grid,
+    point p's contribution to cell (y, x) is exactly
+    ``relu(1-|x - px_pad|) · relu(1-|y - py_pad|)`` — a product of two hat
+    functions whose 2-cell supports are the bilinear corners, with the
+    padding ring supplying grid_sample's zero-padding semantics. Pure f32
+    VPU arithmetic on a flat iota (no integer compare/select chains);
+    samples fully outside the grid are zeroed by the ``inside`` flag, which
+    matches the reference clip+mask exactly."""
+    wp = w + 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
+    # padded-grid continuous coords of every flat cell (computed once)
+    yc = (col // wp).astype(jnp.float32)
+    xc = (col % wp).astype(jnp.float32)
+    Wm = jnp.zeros((QT, S), jnp.float32)
+    for p in range(num_points):
+        flat = lvl * num_points + p
+        px = loc_ref[0, 0, :, 2 * flat:2 * flat + 1].astype(jnp.float32) * w + 0.5
+        py = loc_ref[0, 0, :, 2 * flat + 1:2 * flat + 2].astype(jnp.float32) * h + 0.5
+        aw = attn_ref[0, 0, :, flat:flat + 1].astype(jnp.float32)
+        # inside: the sample's 2x2 support intersects the image
+        # (px/py here are PADDED coords: img coord + 1)
+        inside = (
+            (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
+        ).astype(jnp.float32)
+        wx = jnp.maximum(1.0 - jnp.abs(xc - px), 0.0)
+        wy = jnp.maximum(1.0 - jnp.abs(yc - py), 0.0)
+        Wm = Wm + (aw * inside) * wx * wy
+    return Wm
+
+
+def _msda_kernel_v3(
+    value_ref,  # (1, 1, Vp, D) — this head's padded value
+    loc_ref,    # (1, 1, QT, L*P*2)
+    attn_ref,   # (1, 1, QT, L*P)
+    out_ref,    # (1, 1, QT, D)
+    *,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    num_points: int,
+    head_dim: int,
+    precision=None,
+):
+    QT = loc_ref.shape[2]
+    D = head_dim
+    pstarts = np.concatenate([[0], np.cumsum(_padded_sizes(spatial_shapes))])
+    kdt = value_ref.dtype
+    prec = precision or jax.lax.Precision.HIGHEST
+    acc = jnp.zeros((QT, D), dtype=jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        S = int(pstarts[lvl + 1] - pstarts[lvl])
+        vblock = value_ref[0, 0, pstarts[lvl]:pstarts[lvl + 1], :]
+        Wm = _weighted_mask(loc_ref, attn_ref, lvl=lvl, num_points=num_points,
+                            h=h, w=w, QT=QT, S=S, base=0)
+        acc = acc + jnp.dot(
+            Wm.astype(kdt), vblock,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+
+
+def _msda_kernel_v3_masked(
+    tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
+    value_ref, loc_ref, attn_ref, out_ref,
+    *, spatial_shapes, num_points, head_dim, precision=None,
+):
+    b = pl.program_id(0)
+    q = pl.program_id(2)
+    active = tile_mask_ref[b, q] > 0
+
+    @pl.when(active)
+    def _():
+        _msda_kernel_v3(
+            value_ref, loc_ref, attn_ref, out_ref,
+            spatial_shapes=spatial_shapes, num_points=num_points,
+            head_dim=head_dim, precision=precision,
+        )
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
+
+
+def _msda_kernel_slab_v3(
+    slab_ref,       # scalar prefetch: (B, n_qtiles) int32 slab starts / align
+    wide_ref,       # (B, n_qtiles) int32: 1 -> slab overflow, use full width
+    tmask_ref,      # (B, n_qtiles) int32 tile visibility
+    value_ref, loc_ref, attn_ref, out_ref,
+    *, spatial_shapes, num_points, head_dim, slab_elems, sublane_align,
+    precision=None,
+):
+    """Row-slab windowed scatter-mask variant (single level); see
+    _msda_kernel_slab for the windowing contract."""
+    b = pl.program_id(0)
+    q = pl.program_id(2)
+    (h, w) = spatial_shapes[0]
+    QT = loc_ref.shape[2]
+    D = head_dim
+    active = tmask_ref[b, q] > 0
+    wide = wide_ref[b, q] > 0
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, 0, :, :] = jnp.zeros_like(out_ref[0, 0, :, :])
+
+    @pl.when(active & wide)
+    def _():
+        _msda_kernel_v3(
+            value_ref, loc_ref, attn_ref, out_ref,
+            spatial_shapes=spatial_shapes, num_points=num_points,
+            head_dim=D, precision=precision,
+        )
+
+    @pl.when(active & jnp.logical_not(wide))
+    def _():
+        base = slab_ref[b, q] * sublane_align  # provably aligned (see slab v2)
+        vblock = value_ref[0, 0, pl.ds(base, slab_elems), :]
+        kdt = value_ref.dtype
+        prec = precision or jax.lax.Precision.HIGHEST
+        Wm = _weighted_mask(loc_ref, attn_ref, lvl=0, num_points=num_points,
+                            h=h, w=w, QT=QT, S=slab_elems, base=base)
+        out_ref[0, 0, :, :] = jnp.dot(
+            Wm.astype(kdt), vblock,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(out_ref.dtype)
 
 
 def _msda_kernel_v2(
@@ -281,6 +433,7 @@ def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H, align=8):
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
     interpret=False, q_tile=128, tile_mask=None, fast=False, slab_rows=None,
+    scatter=True,
 ):
     precision = jax.lax.Precision.DEFAULT if fast else None
     B, V, H, D = value.shape
@@ -293,15 +446,24 @@ def _msda_pallas_fwd_impl(
     if Qp != Q:
         loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
         attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
-    patches = _build_patches(
-        value, spatial_shapes,
-        dtype=jnp.bfloat16 if fast else None,
-    )  # (B, H, Vp, 4D)
-    Vp = patches.shape[2]
+    kdtype = jnp.bfloat16 if fast else None
+    if scatter:
+        operand = _build_padded_value(value, spatial_shapes, dtype=kdtype)
+        OW = D  # operand width per head
+        k_plain, k_masked, k_slab = (
+            _msda_kernel_v3, _msda_kernel_v3_masked, _msda_kernel_slab_v3)
+        dots_per_level = 1
+    else:
+        operand = _build_patches(value, spatial_shapes, dtype=kdtype)
+        OW = 4 * D
+        k_plain, k_masked, k_slab = (
+            _msda_kernel_v2, _msda_kernel_v2_masked, _msda_kernel_slab)
+        dots_per_level = P
+    Vp = operand.shape[2]
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
     cost = pl.CostEstimate(
-        flops=2 * B * Qp * H * L * P * (Vp // max(L, 1)) * 4 * D,
-        bytes_accessed=B * (Vp * H * 4 * D * 4 + Qp * H * L * P * 6 * 4),
+        flops=2 * B * Qp * H * L * dots_per_level * (Vp // max(L, 1)) * OW,
+        bytes_accessed=B * (Vp * H * OW * 4 + Qp * H * L * P * 6 * 4),
         transcendentals=0,
     )
     common = dict(
@@ -312,7 +474,7 @@ def _msda_pallas_fwd_impl(
     if slab_rows is not None and L == 1:
         (h0, w0) = spatial_shapes[0]
         wp0 = w0 + 2
-        align = 16 if patches.dtype == jnp.bfloat16 else 8
+        align = 16 if operand.dtype == jnp.bfloat16 else 8
         slab_elems = min(((slab_rows * wp0 + align - 1) // align) * align, Vp)
         n_tiles = Qp // QT
         base, wide = _slab_bounds(loc, spatial_shapes, QT, slab_elems, B, H,
@@ -321,13 +483,13 @@ def _msda_pallas_fwd_impl(
               else jnp.ones((B, n_tiles), jnp.int32))
         assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
         kernel = functools.partial(
-            _msda_kernel_slab,
+            k_slab,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
             slab_elems=slab_elems, sublane_align=align,
             precision=precision,
         )
         cost_slab = pl.CostEstimate(
-            flops=2 * B * Qp * H * P * slab_elems * 4 * D,
+            flops=2 * B * Qp * H * dots_per_level * slab_elems * OW,
             bytes_accessed=cost.bytes_accessed,
             transcendentals=0,
         )
@@ -335,7 +497,7 @@ def _msda_pallas_fwd_impl(
             num_scalar_prefetch=3,
             grid=(B, H, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, 1, Vp, 4 * D),
+                pl.BlockSpec((1, 1, Vp, OW),
                              lambda b, h, q, s, wf, m: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, QT, L * P * 2),
@@ -353,14 +515,14 @@ def _msda_pallas_fwd_impl(
             kernel, grid_spec=grid_spec,
             out_shape=common["out_shape"], interpret=interpret,
             cost_estimate=cost_slab,
-        )(base, wide, tm, patches, loc, attn)
+        )(base, wide, tm, operand, loc, attn)
         return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
     if tile_mask is not None:
         n_tiles = Qp // QT
         tm = tile_mask.astype(jnp.int32)
         assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
         kernel = functools.partial(
-            _msda_kernel_v2_masked,
+            k_masked,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
             precision=precision,
         )
@@ -368,7 +530,7 @@ def _msda_pallas_fwd_impl(
             num_scalar_prefetch=1,
             grid=(B, H, n_tiles),
             in_specs=[
-                pl.BlockSpec((1, 1, Vp, 4 * D),
+                pl.BlockSpec((1, 1, Vp, OW),
                              lambda b, h, q, m: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, QT, L * P * 2),
@@ -384,10 +546,10 @@ def _msda_pallas_fwd_impl(
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, **common
-        )(tm, patches, loc, attn)
+        )(tm, operand, loc, attn)
     else:
         kernel = functools.partial(
-            _msda_kernel_v2,
+            k_plain,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
             precision=precision,
         )
@@ -395,7 +557,7 @@ def _msda_pallas_fwd_impl(
             kernel,
             grid=(B, H, Qp // QT),
             in_specs=[
-                pl.BlockSpec((1, 1, Vp, 4 * D), lambda b, h, q: (b, h, 0, 0),
+                pl.BlockSpec((1, 1, Vp, OW), lambda b, h, q: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, QT, L * P * 2),
                              lambda b, h, q: (b, h, q, 0),
@@ -406,7 +568,7 @@ def _msda_pallas_fwd_impl(
             out_specs=pl.BlockSpec((1, 1, QT, D), lambda b, h, q: (b, h, q, 0),
                                    memory_space=pltpu.VMEM),
             **common,
-        )(patches, loc, attn)
+        )(operand, loc, attn)
     # (B, H, Qp, D) -> (B, Q, H*D)
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 

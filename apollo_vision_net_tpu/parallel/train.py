@@ -55,6 +55,9 @@ def build_head(cfg: ExperimentConfig):
         msda_impl=m.msda_impl,
         group_detr=m.group_detr,
         bev_partition=m.bev_partition,
+        # transformer activations follow the conv trunk's compute dtype
+        # unless the config pins them (m.transformer_dtype)
+        transformer_dtype=m.transformer_dtype or cfg.compute_dtype,
     )
     occ_kw = dict(
         occupancy_classes=m.occupancy_classes,
