@@ -67,9 +67,12 @@ class TemporalSelfAttention(nn.Module):
     attn_logits_clamp: Optional[float] = None
     msda_impl: str = "auto"
     # row-slab windowing for the Pallas kernel: BEV queries are row-major,
-    # so a 128-query tile spans ~ceil(128/bev_w)+1 grid rows; sampling
-    # offsets add a few cells. Wide outliers fall back exactly.
+    # so a q_tile-query tile spans ~ceil(q_tile/bev_w)+1 grid rows; sampling
+    # offsets add a few cells. Wide outliers fall back exactly. q_tile=64
+    # (not 128): the kernel's mask build is VPU-bound at QT·S ops per point,
+    # and finer tiles touch proportionally narrower row bands.
     use_slab: bool = True
+    q_tile: int = 64
     dtype: object = jnp.float32
 
     @nn.compact
@@ -136,10 +139,11 @@ class TemporalSelfAttention(nn.Module):
         )
 
         (bh, bw) = spatial_shapes[0]
-        slab = (min(bh + 2, 128 // max(bw, 1) + 12) if self.use_slab
+        slab = (min(bh + 2, self.q_tile // max(bw, 1) + 12) if self.use_slab
                 else None)
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
-                             impl=self.msda_impl, slab_rows=slab)
+                             impl=self.msda_impl, slab_rows=slab,
+                             q_tile=self.q_tile)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
         out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
                        name="output_proj")(out)
@@ -168,6 +172,7 @@ class MSDeformableAttention3D(nn.Module):
         spatial_shapes: Shapes,
         tile_mask: Optional[jnp.ndarray] = None,
         slab_rows: Optional[int] = None,
+        q_tile: int = 128,
     ) -> jnp.ndarray:
         query = query.astype(self.dtype)
         value = value.astype(self.dtype)
@@ -208,7 +213,7 @@ class MSDeformableAttention3D(nn.Module):
 
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
                              impl=self.msda_impl, tile_mask=tile_mask,
-                             slab_rows=slab_rows)
+                             slab_rows=slab_rows, q_tile=q_tile)
         return out  # (B, Q, C) — caller owns masking/projection
 
 
@@ -229,7 +234,10 @@ class SpatialCrossAttention(nn.Module):
     dropout: float = 0.1
     msda_impl: str = "auto"
     bev_hw: Optional[Tuple[int, int]] = None
-    q_tile: int = 128
+    # 64-query tiles in 8x8 spatial blocks: the mask build is VPU-bound at
+    # QT·S per point, smaller tiles skip more cameras (measured 52% -> 35%
+    # active pairs) and project narrower row bands (p50 15 -> 11 rows)
+    q_tile: int = 64
     # image row-slab windowing: a spatially-compact BEV tile projects into
     # a band of camera rows; half the (padded) image height covers the vast
     # majority of tiles (outliers fall back exactly inside the kernel)
@@ -265,7 +273,9 @@ class SpatialCrossAttention(nn.Module):
                 spatial_block_order,
             )
 
-            perm, inv_perm = spatial_block_order(*self.bev_hw)
+            bh_blk = 8
+            bw_blk = max(1, self.q_tile // bh_blk)
+            perm, inv_perm = spatial_block_order(*self.bev_hw, bh_blk, bw_blk)
             perm = jnp.asarray(perm)
             inv_perm = jnp.asarray(inv_perm)
             query = query[:, perm]
@@ -300,7 +310,7 @@ class SpatialCrossAttention(nn.Module):
             slab = max(8, (spatial_shapes[0][0] + 2 + 1) // 2)
         out = inner(q_cam, v_cam, reference_points=ref,
                     spatial_shapes=spatial_shapes, tile_mask=tile_mask,
-                    slab_rows=slab)
+                    slab_rows=slab, q_tile=self.q_tile)
         out = out.reshape(B, N, Q, C)
 
         hitf = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)

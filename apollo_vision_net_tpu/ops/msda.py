@@ -190,6 +190,7 @@ def ms_deform_attn(
     impl: str = "auto",
     tile_mask: jnp.ndarray | None = None,
     slab_rows: int | None = None,
+    q_tile: int = 128,
 ) -> jnp.ndarray:
     """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}, each with
     an optional '_fast' suffix (single-bf16-pass MXU sampling; pairs with
@@ -226,7 +227,7 @@ def ms_deform_attn(
                 slab_rows = None
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights,
-                fast, tile_mask, slab_rows,
+                fast, tile_mask, slab_rows, q_tile,
             )
         return (
             ms_deform_attn_xla_patch(

@@ -415,7 +415,7 @@ def _msda_pallas_fwd_impl(
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 6, 7))
 def ms_deform_attn_pallas(
     value,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -424,23 +424,24 @@ def ms_deform_attn_pallas(
     fast: bool = False,
     tile_mask=None,
     slab_rows=None,
+    q_tile: int = 128,
 ):
     return _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows, q_tile=q_tile,
     )
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
-         fast, tile_mask, slab_rows):
+         fast, tile_mask, slab_rows, q_tile):
     out = _msda_pallas_fwd_impl(
         value, spatial_shapes, sampling_locations, attention_weights,
-        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows, q_tile=q_tile,
     )
     return out, (value, sampling_locations, attention_weights, tile_mask)
 
 
-def _bwd(spatial_shapes, fast, slab_rows, residuals, g):
+def _bwd(spatial_shapes, fast, slab_rows, q_tile, residuals, g):
     # Backward uses the unmasked XLA VJP: skipped tiles only exist where the
     # caller zeroes the output (and hence the cotangent) anyway.
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
