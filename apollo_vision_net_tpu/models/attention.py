@@ -68,11 +68,11 @@ class TemporalSelfAttention(nn.Module):
     msda_impl: str = "auto"
     # row-slab windowing for the Pallas kernel: BEV queries are row-major,
     # so a q_tile-query tile spans ~ceil(q_tile/bev_w)+1 grid rows; sampling
-    # offsets add a few cells. Wide outliers fall back exactly. q_tile=64
+    # offsets add a few cells. Wide outliers fall back exactly. q_tile=32
     # (not 128): the kernel's mask build is VPU-bound at QT·S ops per point,
     # and finer tiles touch proportionally narrower row bands.
     use_slab: bool = True
-    q_tile: int = 64
+    q_tile: int = 32
     dtype: object = jnp.float32
 
     @nn.compact
@@ -234,10 +234,12 @@ class SpatialCrossAttention(nn.Module):
     dropout: float = 0.1
     msda_impl: str = "auto"
     bev_hw: Optional[Tuple[int, int]] = None
-    # 64-query tiles in 8x8 spatial blocks: the mask build is VPU-bound at
-    # QT·S per point, smaller tiles skip more cameras (measured 52% -> 35%
-    # active pairs) and project narrower row bands (p50 15 -> 11 rows)
-    q_tile: int = 64
+    # 32-query tiles in 8x4 spatial blocks: the mask build is VPU-bound at
+    # QT·S per point; smaller tiles skip more cameras (measured 52% -> 35%
+    # active pairs at 64) and project narrower row bands (p50 15 -> 11
+    # rows). Swept 128/64/32/16: 32 is the flagship optimum (16 regresses
+    # on program count / sublane underutilization).
+    q_tile: int = 32
     # image row-slab windowing: a spatially-compact BEV tile projects into
     # a band of camera rows; half the (padded) image height covers the vast
     # majority of tiles (outliers fall back exactly inside the kernel)
