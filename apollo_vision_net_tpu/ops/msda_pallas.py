@@ -298,6 +298,13 @@ def _msda_pallas_fwd_impl(
     QT = q_tile
     Qp = ((Q + QT - 1) // QT) * QT
     # (B, Q, H, L, P, 2) -> (B, H, Qp, L*P*2)
+    # fast mode: attention weights ride in bf16 (softmax outputs in [0,1] —
+    # 8 mantissa bits ≈ 0.4% rel err). The (…, LP) tensors lane-pad 8->128
+    # in T(8,128) layout, so halving the element width halves ~1 ms/frame
+    # of pad+DMA bloat at the flagship. Locations stay f32: bf16 would
+    # quantize a 50-grid coordinate by ~0.4 cell.
+    if fast:
+        attention_weights = attention_weights.astype(jnp.bfloat16)
     loc = sampling_locations.reshape(B, Q, H, L * P * 2).transpose(0, 2, 1, 3)
     attn = attention_weights.reshape(B, Q, H, L * P).transpose(0, 2, 1, 3)
     if Qp != Q:
