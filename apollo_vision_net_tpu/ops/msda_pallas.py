@@ -96,20 +96,34 @@ def _build_padded_value(value, spatial_shapes, dtype=None):
     return jnp.concatenate(out, axis=2)
 
 
-def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base):
-    """Combined (QT, S) f32 scatter mask for one (head, level).
+def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
+                   mask_dtype=jnp.float32):
+    """Combined (QT, S) scatter mask for one (head, level).
 
     loc_hd: (QT, L*P*2) this head's sampling locations; attn_hd: (QT, L*P).
     ``base``: flat offset of the value window (slab start; 0 full-width).
     Samples fully outside the grid are zeroed by the ``inside`` flag,
     which matches the reference clip+mask exactly; border corners land on
-    the zero padding ring."""
+    the zero padding ring.
+
+    mask_dtype=bf16 (fast mode) runs the wide (QT, S) hat-function passes
+    as packed bf16 VPU ops (2x lane throughput). Accuracy holds because
+    the arithmetic is row/column-decomposed: integer cell coords <= 256
+    are EXACT in bf16, the sample coordinate rides as exact-int floor +
+    bf16 fraction (quantum ~0.004), and the hat is nonzero only where
+    |d| < 1 — so the weights err by <~0.5% while far cells stay exactly
+    zero. Requires grid sides <= 254 (asserted)."""
     wp = w + 2
     col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
-    # padded-grid continuous coords of every flat cell (computed once)
-    yc = (col // wp).astype(jnp.float32)
-    xc = (col % wp).astype(jnp.float32)
-    Wm = jnp.zeros((QT, S), jnp.float32)
+    fast = mask_dtype == jnp.bfloat16
+    if fast:
+        assert h + 2 <= 256 and w + 2 <= 256, (h, w)
+    # padded-grid integer coords of every flat cell (computed once,
+    # amortized over the point loop)
+    yc = (col // wp).astype(mask_dtype)
+    xc = (col % wp).astype(mask_dtype)
+    one = jnp.asarray(1.0, mask_dtype)
+    Wm = jnp.zeros((QT, S), mask_dtype)
     for p in range(num_points):
         flat = lvl * num_points + p
         # PADDED coords: img coord + 1  (px_img = loc*w - 0.5)
@@ -120,15 +134,27 @@ def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base):
         inside = (
             (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
         ).astype(jnp.float32)
-        wx = jnp.maximum(1.0 - jnp.abs(xc - px), 0.0)
-        wy = jnp.maximum(1.0 - jnp.abs(yc - py), 0.0)
-        Wm = Wm + (aw * inside) * wx * wy
+        s = (aw * inside).astype(mask_dtype)
+        if fast:
+            # int/frac split: ints <= 256 subtract exactly in bf16; the
+            # fraction carries the precision where the hat support lives
+            ixf = jnp.floor(px)
+            iyf = jnp.floor(py)
+            dx = (xc - ixf.astype(mask_dtype)) - (px - ixf).astype(mask_dtype)
+            dy = (yc - iyf.astype(mask_dtype)) - (py - iyf).astype(mask_dtype)
+        else:
+            dx = xc - px.astype(mask_dtype)
+            dy = yc - py.astype(mask_dtype)
+        wx = jnp.maximum(one - jnp.abs(dx), 0)
+        wy = jnp.maximum(one - jnp.abs(dy), 0)
+        Wm = Wm + s * wx * wy
     return Wm
 
 
 def _contract_all_heads(
     value_ref, loc_ref, attn_ref, out_ref, *,
     spatial_shapes, num_points, head_dim, precision,
+    mask_dtype=jnp.float32,
 ):
     """Full-width body: for every head, build the per-level scatter mask
     and contract against that level's value block."""
@@ -150,6 +176,7 @@ def _contract_all_heads(
             Wm = _weighted_mask(
                 loc_ref[0, hh], attn_ref[0, hh], lvl=lvl,
                 num_points=num_points, h=h, w=w, QT=QT, S=S, base=0,
+                mask_dtype=mask_dtype,
             )
             acc = acc + jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -171,11 +198,12 @@ def _msda_kernel(
     num_points: int,
     head_dim: int,
     precision=None,
+    mask_dtype=jnp.float32,
 ):
     _contract_all_heads(
         value_ref, loc_ref, attn_ref, out_ref,
         spatial_shapes=spatial_shapes, num_points=num_points,
-        head_dim=head_dim, precision=precision,
+        head_dim=head_dim, precision=precision, mask_dtype=mask_dtype,
     )
 
 
@@ -183,6 +211,7 @@ def _msda_kernel_masked(
     tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
     value_ref, loc_ref, attn_ref, out_ref,
     *, spatial_shapes, num_points, head_dim, precision=None,
+    mask_dtype=jnp.float32,
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
@@ -193,7 +222,7 @@ def _msda_kernel_masked(
         _contract_all_heads(
             value_ref, loc_ref, attn_ref, out_ref,
             spatial_shapes=spatial_shapes, num_points=num_points,
-            head_dim=head_dim, precision=precision,
+            head_dim=head_dim, precision=precision, mask_dtype=mask_dtype,
         )
 
     @pl.when(jnp.logical_not(active))
@@ -207,7 +236,7 @@ def _msda_kernel_slab(
     tmask_ref,      # (B, n_qtiles) int32 tile visibility
     value_ref, loc_ref, attn_ref, out_ref,
     *, spatial_shapes, num_points, head_dim, slab_elems, sublane_align,
-    precision=None,
+    precision=None, mask_dtype=jnp.float32,
 ):
     """Row-slab windowed variant (single level). Numerically identical to
     the full kernel: a sample outside the slab can only exist when wide=1,
@@ -230,7 +259,7 @@ def _msda_kernel_slab(
         _contract_all_heads(
             value_ref, loc_ref, attn_ref, out_ref,
             spatial_shapes=spatial_shapes, num_points=num_points,
-            head_dim=D, precision=precision,
+            head_dim=D, precision=precision, mask_dtype=mask_dtype,
         )
 
     @pl.when(active & jnp.logical_not(wide))
@@ -249,7 +278,7 @@ def _msda_kernel_slab(
             Wm = _weighted_mask(
                 loc_ref[0, hh], attn_ref[0, hh], lvl=0,
                 num_points=num_points, h=h, w=w, QT=QT, S=slab_elems,
-                base=base,
+                base=base, mask_dtype=mask_dtype,
             )
             out_ref[0, hh, :, :] = jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -312,6 +341,10 @@ def _msda_pallas_fwd_impl(
         attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
     operand = _build_padded_value(
         value, spatial_shapes, dtype=jnp.bfloat16 if fast else None)
+    # mask build stays f32: a bf16 mask variant (int/frac-split hat
+    # arithmetic) was measured 1.4x SLOWER end-to-end — Mosaic does not
+    # pack these mixed-width VPU chains, so the extra passes just cost more
+    mask_dtype = jnp.float32
     Vp = operand.shape[2]
     n_tiles = Qp // QT
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
@@ -335,7 +368,7 @@ def _msda_pallas_fwd_impl(
             _msda_kernel_slab,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
             slab_elems=slab_elems, sublane_align=align,
-            precision=precision,
+            precision=precision, mask_dtype=mask_dtype,
         )
         cost_slab = pl.CostEstimate(
             flops=2 * B * Qp * H * slab_elems * D,
@@ -372,7 +405,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel_masked,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
-            precision=precision,
+            precision=precision, mask_dtype=mask_dtype,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -400,7 +433,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
-            precision=precision,
+            precision=precision, mask_dtype=mask_dtype,
         )
         out = pl.pallas_call(
             kernel,
