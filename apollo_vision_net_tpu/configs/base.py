@@ -291,6 +291,7 @@ def bev_base_occ() -> ExperimentConfig:
             backbone_out_indices=(1, 2, 3), num_feature_levels=4,
             encoder_layers=6, with_occupancy=True,
             occ_head_type="mlp", occ_xdim=200, occ_ydim=200,
+            msda_impl="auto_fast",
         ),
         compute_dtype="bfloat16",
     )

@@ -93,9 +93,88 @@ class DetrDecoderLayer(nn.Module):
         return q
 
 
+class RegBranch(nn.Module):
+    """Per-layer box/point regression MLP (unshared across layers — the
+    scan stacks its params along the layer axis)."""
+
+    embed_dims: int
+    code_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(2):
+            x = nn.Dense(self.embed_dims)(x)
+            x = nn.relu(x)
+        return nn.Dense(self.code_size)(x)
+
+
+class _DecoderScanBody(nn.Module):
+    """One decoder layer + its regression branch, shaped for nn.scan:
+    carry=(query, ref), broadcast consts=(memory, query_pos)."""
+
+    embed_dims: int
+    num_heads: int
+    num_points: int
+    feedforward_channels: int
+    dropout: float
+    msda_impl: str
+    self_attn_groups: int
+    dtype: object
+    code_size: int
+    ref_mode: str               # 'det3d' (xyz from slots 0:2,4:5) | 'map2d'
+    spatial_shapes: Shapes
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        out, ref = carry
+        memory, query_pos = consts
+        out = DetrDecoderLayer(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_points=self.num_points,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.dropout,
+            msda_impl=self.msda_impl,
+            self_attn_groups=self.self_attn_groups,
+            dtype=self.dtype,
+            name="layer",
+        )(
+            out, memory,
+            query_pos=query_pos,
+            reference_points=ref[..., :2],
+            spatial_shapes=self.spatial_shapes,
+            deterministic=self.deterministic,
+        )
+        tmp = RegBranch(self.embed_dims, self.code_size, name="reg_branch")(
+            out)
+        if self.ref_mode == "det3d":
+            new_xy = tmp[..., 0:2] + inverse_sigmoid(ref[..., 0:2])
+            new_z = tmp[..., 4:5] + inverse_sigmoid(ref[..., 2:3])
+            ref = jax.lax.stop_gradient(
+                jax.nn.sigmoid(jnp.concatenate([new_xy, new_z], axis=-1))
+            )
+        else:  # map2d (MapTR decoder, maptr/modules/decoder.py:8-61)
+            ref = jax.lax.stop_gradient(
+                jax.nn.sigmoid(tmp[..., :2] + inverse_sigmoid(ref))
+            )
+        return (out, ref), (out, ref, tmp)
+
+
 class DetectionTransformerDecoder(nn.Module):
-    """Returns (states (Lyr, B, Q, C), refs (Lyr, B, Q, 3)) where refs[l] is
-    the refined reference AFTER layer l (reference appends post-update)."""
+    """Returns (states (Lyr, B, Q, C), refs (Lyr, B, Q, R), regs
+    (Lyr, B, Q, code_size)) where refs[l] is the refined reference AFTER
+    layer l (reference appends post-update) and regs[l] is layer l's
+    regression-branch output on states[l] — the same values the reference
+    recomputes post-hoc in the head's output loop.
+
+    The layer stack runs as ONE nn.scan over stacked per-layer params
+    (params unshared, matching the reference's unshared clones): 6 layers
+    trace and compile as one body instead of six — the difference between
+    the 200x200 base config fitting the remote compiler's request limit or
+    not, and a ~L-fold cut in trunk compile time. The regression branches
+    live inside the scan because iterative refinement consumes them
+    between layers."""
 
     num_layers: int = 6
     embed_dims: int = 256
@@ -106,6 +185,8 @@ class DetectionTransformerDecoder(nn.Module):
     msda_impl: str = "auto"
     self_attn_groups: int = 1
     dtype: object = jnp.float32
+    code_size: int = 10
+    ref_mode: str = "det3d"
 
     @nn.compact
     def __call__(
@@ -114,40 +195,32 @@ class DetectionTransformerDecoder(nn.Module):
         memory: jnp.ndarray,            # (B, V, C)
         *,
         query_pos: jnp.ndarray,
-        reference_points: jnp.ndarray,  # (B, Q, 3) sigmoid space
+        reference_points: jnp.ndarray,  # (B, Q, R) sigmoid space
         spatial_shapes: Shapes,
-        reg_branch_fn: Optional[Callable[[int, jnp.ndarray], jnp.ndarray]],
         deterministic: bool = True,
     ):
-        states = []
-        refs = []
-        ref = reference_points
-        out = query
-        for lid in range(self.num_layers):
-            out = DetrDecoderLayer(
-                embed_dims=self.embed_dims,
-                num_heads=self.num_heads,
-                num_points=self.num_points,
-                feedforward_channels=self.feedforward_channels,
-                dropout=self.dropout,
-                msda_impl=self.msda_impl,
-                self_attn_groups=self.self_attn_groups,
-                dtype=self.dtype,
-                name=f"layer{lid}",
-            )(
-                out, memory,
-                query_pos=query_pos,
-                reference_points=ref[..., :2],
-                spatial_shapes=spatial_shapes,
-                deterministic=deterministic,
-            )
-            if reg_branch_fn is not None:
-                tmp = reg_branch_fn(lid, out)  # (B, Q, code_size)
-                new_xy = tmp[..., 0:2] + inverse_sigmoid(ref[..., 0:2])
-                new_z = tmp[..., 4:5] + inverse_sigmoid(ref[..., 2:3])
-                ref = jax.lax.stop_gradient(
-                    jax.nn.sigmoid(jnp.concatenate([new_xy, new_z], axis=-1))
-                )
-            states.append(out)
-            refs.append(ref)
-        return jnp.stack(states), jnp.stack(refs)
+        Body = nn.scan(
+            _DecoderScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        query = query.astype(self.dtype)
+        (_, _), (states, refs, regs) = Body(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_points=self.num_points,
+            feedforward_channels=self.feedforward_channels,
+            dropout=self.dropout,
+            msda_impl=self.msda_impl,
+            self_attn_groups=self.self_attn_groups,
+            dtype=self.dtype,
+            code_size=self.code_size,
+            ref_mode=self.ref_mode,
+            spatial_shapes=tuple(tuple(s) for s in spatial_shapes),
+            deterministic=deterministic,
+            name="layers",
+        )((query, reference_points), (memory, query_pos))
+        return states, refs, regs

@@ -106,6 +106,63 @@ class BEVFormerLayer(nn.Module):
         return q
 
 
+class _EncoderScanBody(nn.Module):
+    """One encoder layer shaped for nn.scan: carry=q, broadcast
+    consts=(q0, prev_bev, hp, img_value, bev_pos, tsa_refs, ref_cam,
+    bev_mask). The TSA value queue [prev, cur] is rebuilt from the carry
+    each layer (reference encoder.py:316-325 semantics)."""
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points_sca: int
+    num_points_tsa: int
+    num_cams: int
+    feedforward_channels: int
+    ffn_dropout: float
+    attn_logits_clamp: Optional[float]
+    msda_impl: str
+    bev_hw: Tuple[int, int]
+    bev_spatial_shapes: Shapes
+    img_spatial_shapes: Shapes
+    dtype: object
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, q, consts):
+        (q0, prev_bev, hp, img_value, bev_pos, tsa_refs, ref_cam,
+         bev_mask) = consts
+        value_prev = hp * prev_bev + (1.0 - hp) * q
+        value_cur = hp * q0 + (1.0 - hp) * q
+        tsa_value = jnp.stack([value_prev, value_cur], axis=1)
+        q = BEVFormerLayer(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points_sca=self.num_points_sca,
+            num_points_tsa=self.num_points_tsa,
+            num_cams=self.num_cams,
+            feedforward_channels=self.feedforward_channels,
+            ffn_dropout=self.ffn_dropout,
+            attn_logits_clamp=self.attn_logits_clamp,
+            msda_impl=self.msda_impl,
+            bev_hw=self.bev_hw,
+            dtype=self.dtype,
+            name="layer",
+        )(
+            q, img_value,
+            bev_pos=bev_pos,
+            tsa_value=tsa_value,
+            tsa_refs=tsa_refs,
+            bev_spatial_shapes=self.bev_spatial_shapes,
+            img_spatial_shapes=self.img_spatial_shapes,
+            reference_points_cam=ref_cam,
+            bev_mask=bev_mask,
+            deterministic=self.deterministic,
+        )
+        return q, None
+
+
 class BEVFormerEncoder(nn.Module):
     num_layers: int = 3
     embed_dims: int = 256
@@ -156,35 +213,38 @@ class BEVFormerEncoder(nn.Module):
         ref_cur = ref_shifted if self.shift_current_refs else ref
         tsa_refs = jnp.stack([ref_prev, ref_cur], axis=1)[:, :, :, None, :]
 
-        q0 = bev_query
-        q = bev_query
-        for lid in range(self.num_layers):
-            value_prev = hp * prev_bev + (1.0 - hp) * q
-            value_cur = hp * q0 + (1.0 - hp) * q
-            tsa_value = jnp.stack([value_prev, value_cur], axis=1)
-            q = BEVFormerLayer(
-                embed_dims=self.embed_dims,
-                num_heads=self.num_heads,
-                num_levels=self.num_levels,
-                num_points_sca=self.num_points_sca,
-                num_points_tsa=self.num_points_tsa,
-                num_cams=self.num_cams,
-                feedforward_channels=self.feedforward_channels,
-                ffn_dropout=self.ffn_dropout,
-                attn_logits_clamp=self.attn_logits_clamp,
-                msda_impl=self.msda_impl,
-                bev_hw=(bev_h, bev_w),
-                dtype=self.dtype,
-                name=f"layer{lid}",
-            )(
-                q, img_value,
-                bev_pos=bev_pos,
-                tsa_value=tsa_value,
-                tsa_refs=tsa_refs,
-                bev_spatial_shapes=((bev_h, bev_w),),
-                img_spatial_shapes=img_spatial_shapes,
-                reference_points_cam=reference_points_cam,
-                bev_mask=bev_mask,
-                deterministic=deterministic,
-            )
+        # ONE nn.scan over stacked per-layer params (unshared, matching the
+        # reference's layer clones): the trunk traces/compiles one layer
+        # body instead of num_layers copies — see DetectionTransformerDecoder
+        # for why this matters (remote-compile size limits, compile time).
+        Body = nn.scan(
+            _EncoderScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+            in_axes=nn.broadcast,
+            out_axes=0,
+        )
+        q, _ = Body(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            num_levels=self.num_levels,
+            num_points_sca=self.num_points_sca,
+            num_points_tsa=self.num_points_tsa,
+            num_cams=self.num_cams,
+            feedforward_channels=self.feedforward_channels,
+            ffn_dropout=self.ffn_dropout,
+            attn_logits_clamp=self.attn_logits_clamp,
+            msda_impl=self.msda_impl,
+            bev_hw=(bev_h, bev_w),
+            bev_spatial_shapes=((bev_h, bev_w),),
+            img_spatial_shapes=img_spatial_shapes,
+            dtype=self.dtype,
+            deterministic=deterministic,
+            name="layers",
+        )(
+            bev_query,
+            (bev_query, prev_bev, hp, img_value, bev_pos, tsa_refs,
+             reference_points_cam, bev_mask),
+        )
         return q

@@ -41,16 +41,10 @@ class ClsBranch(nn.Module):
         )(x)
 
 
-class RegBranch(nn.Module):
-    embed_dims: int
-    code_size: int
-
-    @nn.compact
-    def __call__(self, x):
-        for _ in range(2):
-            x = nn.Dense(self.embed_dims)(x)
-            x = nn.relu(x)
-        return nn.Dense(self.code_size)(x)
+# RegBranch lives in models/decoder.py now: iterative refinement consumes
+# the per-layer regression outputs inside the decoder's layer scan, so the
+# branches' (unshared, stacked) params belong to the decoder.
+from apollo_vision_net_tpu.models.decoder import RegBranch  # noqa: F401 (re-export)
 
 
 class BEVFormerHead(nn.Module):
@@ -111,6 +105,7 @@ class BEVFormerHead(nn.Module):
                else jnp.float32)
         self.transformer = PerceptionTransformer(
             dtype=tdt,
+            code_size=self.code_size,
             embed_dims=self.embed_dims,
             num_feature_levels=self.num_feature_levels,
             num_cams=self.num_cams,
@@ -128,10 +123,6 @@ class BEVFormerHead(nn.Module):
         )
         self.cls_branches = [
             ClsBranch(self.embed_dims, self.num_classes, name=f"cls_branch{i}")
-            for i in range(self.decoder_layers)
-        ]
-        self.reg_branches = [
-            RegBranch(self.embed_dims, self.code_size, name=f"reg_branch{i}")
             for i in range(self.decoder_layers)
         ]
 
@@ -180,10 +171,6 @@ class BEVFormerHead(nn.Module):
                 bev_mask=bev_mask, deterministic=deterministic,
             )
 
-        def reg_branch_fn(lid: int, x: jnp.ndarray) -> jnp.ndarray:
-            # lid is a Python int (the decoder loop is unrolled)
-            return self.reg_branches[lid](x)
-
         # Group-DETR: inference uses only the first query group
         query_embedding = self.query_embedding
         if self.group_detr > 1 and deterministic:
@@ -194,13 +181,13 @@ class BEVFormerHead(nn.Module):
 
             prev_bev = jax.lax.with_sharding_constraint(
                 prev_bev, PartitionSpec(*self.bev_partition))
-        bev_embed, hs, init_ref, inter_refs = self.transformer(
+        bev_embed, hs, init_ref, inter_refs, inter_regs = self.transformer(
             mlvl_feats, self.bev_embedding, query_embedding,
             bev_h=self.bev_h, bev_w=self.bev_w, grid_length=grid_length,
             bev_pos=bev_pos, prev_bev=prev_bev, has_prev=has_prev,
             can_bus=can_bus, ref_2d=ref_2d,
             reference_points_cam=ref_cam, bev_mask=bev_mask,
-            reg_branch_fn=reg_branch_fn, deterministic=deterministic,
+            deterministic=deterministic,
         )
 
         pc = np.asarray(self.pc_range, np.float32)
@@ -209,7 +196,9 @@ class BEVFormerHead(nn.Module):
             ref = init_ref if lvl == 0 else inter_refs[lvl - 1]
             ref = inverse_sigmoid(ref)
             cls = self.cls_branches[lvl](hs[lvl])
-            tmp = self.reg_branches[lvl](hs[lvl])
+            # the decoder already ran layer lvl's reg branch on hs[lvl]
+            # (the reference recomputes it post-hoc — identical values)
+            tmp = inter_regs[lvl]
             xy = jax.nn.sigmoid(tmp[..., 0:2] + ref[..., 0:2])
             z = jax.nn.sigmoid(tmp[..., 4:5] + ref[..., 2:3])
             x = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]

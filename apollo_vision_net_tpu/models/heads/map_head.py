@@ -16,86 +16,25 @@ impossible.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from apollo_vision_net_tpu.models.decoder import DetrDecoderLayer
+from apollo_vision_net_tpu.models.decoder import DetectionTransformerDecoder
 from apollo_vision_net_tpu.models.heads.det_head import (
     BEVFormerHead,
     ClsBranch,
-    RegBranch,
 )
 from apollo_vision_net_tpu.utils.box_coder import inverse_sigmoid
 
 Shapes = Tuple[Tuple[int, int], ...]
 
 
-class MapTRDecoder(nn.Module):
-    """DETR decoder over BEV memory with 2D reference refinement."""
-
-    num_layers: int = 6
-    embed_dims: int = 256
-    num_heads: int = 8
-    num_points: int = 4
-    feedforward_channels: int = 512
-    dropout: float = 0.1
-    msda_impl: str = "auto"
-    dtype: object = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self,
-        query: jnp.ndarray,             # (B, Q, C)
-        memory: jnp.ndarray,            # (B, V, C)
-        *,
-        query_pos: jnp.ndarray,
-        reference_points: jnp.ndarray,  # (B, Q, 2) sigmoid space
-        spatial_shapes: Shapes,
-        reg_branch_fn: Optional[Callable[[int, jnp.ndarray], jnp.ndarray]],
-        deterministic: bool = True,
-    ):
-        states, refs = [], []
-        ref = reference_points
-        out = query
-        for lid in range(self.num_layers):
-            out = DetrDecoderLayer(
-                embed_dims=self.embed_dims,
-                num_heads=self.num_heads,
-                num_points=self.num_points,
-                feedforward_channels=self.feedforward_channels,
-                dropout=self.dropout,
-                msda_impl=self.msda_impl,
-                dtype=self.dtype,
-                name=f"layer{lid}",
-            )(
-                out, memory,
-                query_pos=query_pos,
-                reference_points=ref,
-                spatial_shapes=spatial_shapes,
-                deterministic=deterministic,
-            )
-            if reg_branch_fn is not None:
-                tmp = reg_branch_fn(lid, out)  # (B, Q, 2)
-                ref = jax.lax.stop_gradient(
-                    jax.nn.sigmoid(tmp[..., :2] + inverse_sigmoid(ref))
-                )
-            states.append(out)
-            refs.append(ref)
-        return jnp.stack(states), jnp.stack(refs)
-
-
-class MapRegBranch(nn.Module):
-    embed_dims: int
-
-    @nn.compact
-    def __call__(self, x):
-        for _ in range(2):
-            x = nn.Dense(self.embed_dims)(x)
-            x = nn.relu(x)
-        return nn.Dense(2)(x)
+# MapTRDecoder is the scanned DetectionTransformerDecoder in map2d mode
+# (2D reference refinement, reg branches inside the layer scan). The 2-wide
+# regression head replaces the former MapRegBranch.
 
 
 class BEVFormerDetMapHead(BEVFormerHead):
@@ -124,21 +63,20 @@ class BEVFormerDetMapHead(BEVFormerHead):
             2, kernel_init=nn.initializers.variance_scaling(
                 1.0, "fan_avg", "uniform"),
         )
-        self.map_decoder = MapTRDecoder(
+        self.map_decoder = DetectionTransformerDecoder(
             num_layers=self.map_decoder_layers,
             embed_dims=self.embed_dims,
             feedforward_channels=self.feedforward_channels,
             msda_impl=self.msda_impl,
             dtype=(jnp.bfloat16 if self.transformer_dtype == "bfloat16"
                    else jnp.float32),
+            code_size=2,
+            ref_mode="map2d",
+            name="map_decoder",
         )
         self.map_cls_branches = [
             ClsBranch(self.embed_dims, self.map_num_classes,
                       name=f"map_cls_branch{i}")
-            for i in range(self.map_decoder_layers)
-        ]
-        self.map_reg_branches = [
-            MapRegBranch(self.embed_dims, name=f"map_reg_branch{i}")
             for i in range(self.map_decoder_layers)
         ]
 
@@ -155,22 +93,18 @@ class BEVFormerDetMapHead(BEVFormerHead):
         query = jnp.broadcast_to(query[None], (B,) + query.shape)
         init_ref = jax.nn.sigmoid(self.map_reference_points_fc(query_pos))
 
-        def reg_branch_fn(lid, x):
-            return self.map_reg_branches[lid](x)
-
-        states, refs = self.map_decoder(
+        states, refs, regs = self.map_decoder(
             query, bev_embed,
             query_pos=query_pos,
             reference_points=init_ref,
             spatial_shapes=((self.bev_h, self.bev_w),),
-            reg_branch_fn=reg_branch_fn,
             deterministic=deterministic,
         )
 
         all_cls, all_pts = [], []
         for lvl in range(self.map_decoder_layers):
             ref = init_ref if lvl == 0 else refs[lvl - 1]
-            tmp = self.map_reg_branches[lvl](states[lvl])
+            tmp = regs[lvl]
             pts01 = jax.nn.sigmoid(tmp[..., :2] + inverse_sigmoid(ref))
             pts01 = pts01.reshape(B, self.num_map_vec, self.map_num_pts, 2)
             feat_vec = states[lvl].reshape(

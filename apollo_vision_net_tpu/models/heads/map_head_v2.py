@@ -27,7 +27,7 @@ from apollo_vision_net_tpu.models.attention import (
     MultiheadAttention,
 )
 from apollo_vision_net_tpu.models.heads.det_head import BEVFormerHead, ClsBranch
-from apollo_vision_net_tpu.models.heads.map_head import MapRegBranch
+from apollo_vision_net_tpu.models.decoder import RegBranch
 from apollo_vision_net_tpu.utils.box_coder import inverse_sigmoid
 
 Shapes = Tuple[Tuple[int, int], ...]
@@ -143,7 +143,7 @@ class BEVFormerDetMapHeadV2(BEVFormerHead):
             for i in range(self.map_decoder_layers)
         ]
         self.map_reg_branches = [
-            MapRegBranch(C, name=f"map_reg_branch{i}")
+            RegBranch(C, 2, name=f"map_reg_branch{i}")
             for i in range(self.map_decoder_layers)
         ]
         if self.with_aux_seg:

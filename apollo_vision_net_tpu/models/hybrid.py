@@ -141,16 +141,14 @@ class HybridFormerOccupancyHead(BEVFormerHead):
             embed_dims=self.embed_dims,
             feedforward_channels=self.feedforward_channels,
             msda_impl=self.msda_impl,
+            code_size=self.code_size,
         )
         self.reference_points_fc = nn.Dense(3)
         self.cls_branches = [
             ClsBranch(self.embed_dims, self.num_classes, name=f"cls_branch{i}")
             for i in range(self.decoder_layers)
         ]
-        self.reg_branches = [
-            RegBranch(self.embed_dims, self.code_size, name=f"reg_branch{i}")
-            for i in range(self.decoder_layers)
-        ]
+
         self.occ_branches = OccMLPBranch(
             self.occ_dims, self.occupancy_classes, self.num_occ_fcs)
         if self.use_can_bus:
@@ -295,10 +293,9 @@ class HybridFormerOccupancyHead(BEVFormerHead):
         query_pos = jnp.broadcast_to(query_pos[None], (B,) + query_pos.shape)
         query = jnp.broadcast_to(query[None], (B,) + query.shape)
         init_ref = jax.nn.sigmoid(self.reference_points_fc(query_pos))
-        hs, inter_refs = self.decoder(
+        hs, inter_refs, inter_regs = self.decoder(
             query, bev_memory, query_pos=query_pos,
             reference_points=init_ref, spatial_shapes=((Hh, Ww),),
-            reg_branch_fn=lambda lid, x: self.reg_branches[lid](x),
             deterministic=deterministic,
         )
         pc = np.asarray(self.pc_range, np.float32)
@@ -306,7 +303,7 @@ class HybridFormerOccupancyHead(BEVFormerHead):
         for lvl in range(hs.shape[0]):
             r = inverse_sigmoid(init_ref if lvl == 0 else inter_refs[lvl - 1])
             cls = self.cls_branches[lvl](hs[lvl])
-            tmp = self.reg_branches[lvl](hs[lvl])
+            tmp = inter_regs[lvl]
             xy = jax.nn.sigmoid(tmp[..., 0:2] + r[..., 0:2])
             z = jax.nn.sigmoid(tmp[..., 4:5] + r[..., 2:3])
             x = xy[..., 0:1] * (pc[3] - pc[0]) + pc[0]

@@ -45,6 +45,7 @@ class PerceptionTransformer(nn.Module):
     decoder_layers: int = 6
     num_points_decoder: int = 4
     decoder_self_attn_groups: int = 1  # Group-DETR
+    code_size: int = 10
     # behaviour flags (transformer.py:52-58)
     rotate_prev_bev: bool = True
     use_shift: bool = True
@@ -97,6 +98,8 @@ class PerceptionTransformer(nn.Module):
             msda_impl=self.msda_impl,
             self_attn_groups=self.decoder_self_attn_groups,
             dtype=self.dtype,
+            code_size=self.code_size,
+            ref_mode="det3d",
         )
         self.reference_points_fc = nn.Dense(
             3, kernel_init=nn.initializers.variance_scaling(
@@ -199,7 +202,6 @@ class PerceptionTransformer(nn.Module):
         ref_2d,
         reference_points_cam,
         bev_mask,
-        reg_branch_fn,
         deterministic: bool = True,
     ):
         bev_embed = self.get_bev_features(
@@ -220,12 +222,12 @@ class PerceptionTransformer(nn.Module):
         reference_points = jax.nn.sigmoid(self.reference_points_fc(query_pos))
         init_reference = reference_points
 
-        inter_states, inter_references = self.decoder(
+        inter_states, inter_references, inter_regs = self.decoder(
             query, bev_embed,
             query_pos=query_pos,
             reference_points=reference_points,
             spatial_shapes=((bev_h, bev_w),),
-            reg_branch_fn=reg_branch_fn,
             deterministic=deterministic,
         )
-        return bev_embed, inter_states, init_reference, inter_references
+        return (bev_embed, inter_states, init_reference, inter_references,
+                inter_regs)

@@ -339,8 +339,12 @@ def _msda_pallas_fwd_impl(
     if Qp != Q:
         loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
         attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+    # exact mode pins the operand to f32 even when the caller's trunk runs
+    # bf16 activations: Mosaic rejects HIGHEST (fp32-contract) matmuls on
+    # bf16 inputs ("Bad lhs type"), and exact mode's contract is f32 math
     operand = _build_padded_value(
-        value, spatial_shapes, dtype=jnp.bfloat16 if fast else None)
+        value, spatial_shapes,
+        dtype=jnp.bfloat16 if fast else jnp.float32)
     # mask build stays f32: a bf16 mask variant (int/frac-split hat
     # arithmetic) was measured 1.4x SLOWER end-to-end — Mosaic does not
     # pack these mixed-width VPU chains, so the extra passes just cost more
@@ -354,6 +358,10 @@ def _msda_pallas_fwd_impl(
         transcendentals=0,
     )
     out_shape = jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype)
+    # multi-level / large-grid configs need more than the default 16 MB
+    # Mosaic scoped-vmem stack for the per-level mask temporaries
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
     if slab_rows is not None and L == 1:
         (h0, w0) = spatial_shapes[0]
         wp0 = w0 + 2
@@ -397,6 +405,7 @@ def _msda_pallas_fwd_impl(
             kernel, grid_spec=grid_spec,
             out_shape=out_shape, interpret=interpret,
             cost_estimate=cost_slab,
+            compiler_params=compiler_params,
         )(base, wide, tm, operand, loc, attn)
         return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
     if tile_mask is not None:
@@ -428,6 +437,7 @@ def _msda_pallas_fwd_impl(
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret, cost_estimate=cost,
+            compiler_params=compiler_params,
         )(tm, operand, loc, attn)
     else:
         kernel = functools.partial(
@@ -450,6 +460,7 @@ def _msda_pallas_fwd_impl(
             out_specs=pl.BlockSpec((1, H, QT, D), lambda b, q: (b, 0, q, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=out_shape, interpret=interpret, cost_estimate=cost,
+            compiler_params=compiler_params,
         )(operand, loc, attn)
     # (B, H, Qp, D) -> (B, Q, H*D)
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)

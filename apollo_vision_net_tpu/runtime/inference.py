@@ -25,14 +25,20 @@ from apollo_vision_net_tpu.utils.box_coder import nms_free_decode
 
 
 def make_streaming_fn(cfg: ExperimentConfig, model, params):
-    """Jitted single-frame inference: returns (outs, new_prev_bev)."""
-    def fn(img, can_bus, lidar2img, prev_bev, has_prev):
+    """Jitted single-frame inference: returns (outs, new_prev_bev).
+
+    params bind via functools.partial over a jit ARGUMENT — closing over
+    them would embed the weights as MLIR constants (~80 MB serialized for
+    the flagship), slowing every remote compile."""
+    def fn(p, img, can_bus, lidar2img, prev_bev, has_prev):
         return model.apply(
-            {"params": params}, img, can_bus, lidar2img, prev_bev, has_prev,
+            {"params": p}, img, can_bus, lidar2img, prev_bev, has_prev,
             method=BEVFormer.forward_test_frame,
         )
 
-    return jax.jit(fn)
+    import functools
+
+    return functools.partial(jax.jit(fn), params)
 
 
 def run_streaming_eval(

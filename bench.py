@@ -28,24 +28,24 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    img, can_bus, lidar2img, prev0, has_prev = args
+    params, img, can_bus, lidar2img, prev0, has_prev = args
 
     @jax.jit
-    def run_stream(img, can_bus, lidar2img, prev, has_prev):
+    def run_stream(params, img, can_bus, lidar2img, prev, has_prev):
         def body(prev, i):
             # fold the frame index into the image so steps can't be CSE'd
             im = img + (i.astype(img.dtype) * 1e-6)
-            outs = fn(im, can_bus, lidar2img, prev, has_prev)
+            outs = fn(params, im, can_bus, lidar2img, prev, has_prev)
             return outs[-1], outs[0].sum()
         prev, sums = jax.lax.scan(body, prev, jnp.arange(N_FRAMES))
         return prev, sums.sum()
 
     # warmup / compile
-    prev, s = run_stream(img, can_bus, lidar2img, prev0, has_prev)
+    prev, s = run_stream(params, img, can_bus, lidar2img, prev0, has_prev)
     float(s)
 
     t0 = time.perf_counter()
-    prev, s = run_stream(img, can_bus, lidar2img, prev, has_prev)
+    prev, s = run_stream(params, img, can_bus, lidar2img, prev, has_prev)
     float(s)
     dt = time.perf_counter() - t0
 

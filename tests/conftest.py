@@ -12,9 +12,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # This sandbox exposes ONE core (nproc=1): the 8 virtual devices'
+    # collective threads time-slice it, and anything else competing
+    # (XLA compiles, parallel workers) can starve a rendezvous past the
+    # default 40 s TERMINATION timeout -> SIGABRT mid-suite. The timeout
+    # exists to catch real deadlocks; starvation isn't one — raise it.
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -22,12 +29,15 @@ import jax  # noqa: E402
 # after import is what actually pins tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# NO persistent compilation cache here, deliberately: deserialized XLA:CPU
-# executables lose the cross-collective ordering constraint of the thunk
-# runtime — on cache HITS the 8 virtual device threads split between two
-# independent collectives (4 at the all-reduce, 4 at the all-to-all),
-# deadlock, and abort the process after the 40 s rendezvous timeout
-# ("Fatal Python error: Aborted" in test_all_families). Cold compiles are
-# the price of correctness on the CPU mesh; the TPU bench keeps its own
-# cache (/tmp/jax_cache) where the problem does not exist.
+# Persistent compilation cache: the model-family/e2e tests are dominated
+# by XLA compile time (~hours cold on this 1-core sandbox); warm runs
+# reuse cached executables. SAFE ONLY together with the raised collective
+# timeouts above: with the default 40 s termination timeout, cache-hit
+# executables start running while the next test's compile hogs the single
+# core, a collective thread starves past the timeout, and XLA aborts the
+# process ("Fatal Python error: Aborted" — diagnosed round 2; the
+# timeouts, not the cache, were the root cause).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -22,22 +22,24 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timed_scan(fn, carry0, n_frames, perturb):
-    """Scan fn (carry -> carry, scalar) n_frames times inside one jit; return
-    per-iteration milliseconds (second call, compiled)."""
+def timed_scan(fn, carry0, n_frames, params):
+    """Scan fn (params, carry -> carry, scalar) n_frames times inside one
+    jit; returns per-iteration ms (second call, compiled). params ride as a
+    jit argument — closing over them embeds the weights as MLIR constants
+    (slow remote compiles, request-size limits)."""
 
     @jax.jit
-    def run(carry):
+    def run(params, carry):
         def body(carry, i):
-            carry, s = fn(carry, i)
+            carry, s = fn(params, carry, i)
             return carry, s
         carry, sums = jax.lax.scan(body, carry, jnp.arange(n_frames))
         return carry, sums.sum()
 
-    carry, s = run(carry0)
+    carry, s = run(params, carry0)
     float(s)
     t0 = time.perf_counter()
-    carry, s = run(carry0)
+    carry, s = run(params, carry0)
     float(s)
     return (time.perf_counter() - t0) / n_frames * 1e3
 
@@ -67,53 +69,53 @@ def main():
     has_prev = jnp.ones((1,), jnp.float32)
 
     # ---- full step ----
-    def full(prev, i):
+    def full(p, prev, i):
         im = img + i.astype(img.dtype) * 1e-6
         outs, new_prev = model.apply(
-            params, im, can_bus, lidar2img, prev, has_prev,
+            p, im, can_bus, lidar2img, prev, has_prev,
             method=BEVFormer.forward_test_frame)
         return new_prev, outs["all_cls_scores"][-1].sum()
 
-    ms_full = timed_scan(full, prev0, args.frames, None)
+    ms_full = timed_scan(full, prev0, args.frames, params)
     print(f"full_step          {ms_full:8.3f} ms/frame   ({1e3/ms_full:.1f} fps)")
 
     # ---- backbone+neck only ----
-    def bb(carry, i):
+    def bb(p, carry, i):
         im = img + i.astype(img.dtype) * 1e-6
-        feats = model.apply(params, im, method=BEVFormer.extract_img_feat)
+        feats = model.apply(p, im, method=BEVFormer.extract_img_feat)
         s = sum(f.sum() for f in feats)
         return carry + s * 1e-9, s
 
-    ms_bb = timed_scan(bb, jnp.zeros(()), args.frames, None)
+    ms_bb = timed_scan(bb, jnp.zeros(()), args.frames, params)
     print(f"backbone+neck      {ms_bb:8.3f} ms/frame")
 
     # ---- encoder only (BEV features from precomputed feats) ----
     feats0 = jax.jit(
-        lambda im: model.apply(params, im, method=BEVFormer.extract_img_feat)
-    )(img)
+        lambda p, im: model.apply(p, im, method=BEVFormer.extract_img_feat)
+    )(params, img)
 
-    def enc(prev, i):
+    def enc(p, prev, i):
         feats = tuple(f + i.astype(f.dtype) * 1e-6 for f in feats0)
         bev = model.apply(
-            params, feats, can_bus=can_bus, lidar2img=lidar2img,
+            p, feats, can_bus=can_bus, lidar2img=lidar2img,
             prev_bev=prev, has_prev=has_prev, only_bev=True,
             deterministic=True,
             method=lambda m, *a, **k: m.head(*a, **k))
         return bev, bev.sum()
 
-    ms_enc = timed_scan(enc, prev0, args.frames, None)
+    ms_enc = timed_scan(enc, prev0, args.frames, params)
     print(f"encoder (bev)      {ms_enc:8.3f} ms/frame")
 
     # ---- full head (encoder + decoders) from precomputed feats ----
-    def head_full(prev, i):
+    def head_full(p, prev, i):
         feats = tuple(f + i.astype(f.dtype) * 1e-6 for f in feats0)
         outs = model.apply(
-            params, feats, can_bus=can_bus, lidar2img=lidar2img,
+            p, feats, can_bus=can_bus, lidar2img=lidar2img,
             prev_bev=prev, has_prev=has_prev, deterministic=True,
             method=lambda m, *a, **k: m.head(*a, **k))
         return outs["bev_embed"], outs["all_cls_scores"][-1].sum()
 
-    ms_head = timed_scan(head_full, prev0, args.frames, None)
+    ms_head = timed_scan(head_full, prev0, args.frames, params)
     print(f"encoder+decoders   {ms_head:8.3f} ms/frame")
     print(f"  -> decoders+branches ~ {ms_head - ms_enc:8.3f} ms/frame")
     print(f"residual (full - bb - head) ~ {ms_full - ms_bb - ms_head:8.3f} ms/frame")

@@ -46,7 +46,7 @@ def main():
     has_prev = jnp.ones((1,), jnp.float32)
 
     @jax.jit
-    def run(prev):
+    def run(params, prev):
         def body(prev, i):
             im = img + i.astype(img.dtype) * 1e-6
             outs, new_prev = model.apply(
@@ -56,13 +56,13 @@ def main():
         prev, sums = jax.lax.scan(body, prev, jnp.arange(args.frames))
         return prev, sums.sum()
 
-    prev, s = run(prev0)
+    prev, s = run(params, prev0)
     float(s)
 
     tdir = "/tmp/jax_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
-        prev, s = run(prev0)
+        prev, s = run(params, prev0)
         float(s)
 
     # parse the xplane proto
