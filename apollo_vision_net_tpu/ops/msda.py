@@ -229,6 +229,15 @@ def ms_deform_attn(
                 value, spatial_shapes, sampling_locations, attention_weights,
                 fast, tile_mask, slab_rows, q_tile,
             )
+        if on_tpu and len(spatial_shapes) == 1 and slab_rows is not None:
+            # single-level grid too large for whole-value VMEM residency
+            # (200x200 BEV TSA): block-window kernel — sampling locations
+            # clamp into a per-tile 24x32-cell window (DEVIATIONS.md); the
+            # XLA gather fallback below costs ~25x more at this size
+            return msda_pallas.ms_deform_attn_pallas_window(
+                value, spatial_shapes, sampling_locations, attention_weights,
+                fast, tile_mask, q_tile,
+            )
         return (
             ms_deform_attn_xla_patch(
                 value, spatial_shapes, sampling_locations, attention_weights

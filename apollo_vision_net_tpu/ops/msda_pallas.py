@@ -466,6 +466,206 @@ def _msda_pallas_fwd_impl(
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
 
+
+# ---------------------------------------------------------------------------
+# Block-window variant for single-level grids too large for whole-value VMEM
+# residency (200x200 BEV TSA): the padded grid is pre-tiled into 8x16-cell
+# value blocks; each query tile contracts against a 3x2-block (24x32-cell)
+# window chosen per (batch, tile) through scalar-prefetched BLOCK indices —
+# the six window blocks arrive as six pipelined BlockSpec inputs, so there
+# is no in-kernel DMA and no VMEM residency requirement on the full grid.
+#
+# SEMANTIC NOTE (documented in DEVIATIONS.md): sampling locations are
+# clamped into the window interior. The window is centered on the tile's
+# sampling extent, so any sample within ~11 rows / ~15 cols of the tile's
+# sampling centroid — in practice all of them for temporal self-attention,
+# whose learned offsets are initialized within 4 cells — is EXACT; rare
+# far outliers saturate at the window edge instead of sampling outside it.
+# The backward pass reuses the unclamped XLA VJP.
+
+_WIN_BH, _WIN_BW = 8, 16      # value block = 8 rows x 16 cols = 128 cells
+_WIN_NY, _WIN_NX = 3, 2       # window = 3x2 blocks = 24 x 32 cells
+
+
+def _build_blocked_value(value, h, w, dtype):
+    """(B, V=h*w, H, D) -> (B, H, n_yb, n_xb, 128, D): 1-ring padded grid
+    cut into (8, 16)-cell blocks (cell s = r*16 + c)."""
+    if dtype is not None and value.dtype != dtype:
+        value = value.astype(dtype)
+    B, V, H, D = value.shape
+    hp, wp = h + 2, w + 2
+    hq = (hp + _WIN_BH - 1) // _WIN_BH * _WIN_BH
+    wq = (wp + _WIN_BW - 1) // _WIN_BW * _WIN_BW
+    v = value.reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)
+    v = jnp.pad(v, [(0, 0), (0, 0), (1, hq - hp + 1), (1, wq - wp + 1),
+                    (0, 0)])
+    n_yb, n_xb = hq // _WIN_BH, wq // _WIN_BW
+    v = v.reshape(B, H, n_yb, _WIN_BH, n_xb, _WIN_BW, D)
+    v = v.transpose(0, 1, 2, 4, 3, 5, 6)
+    return v.reshape(B, H, n_yb, n_xb, _WIN_BH * _WIN_BW, D)
+
+
+def _window_origins(loc, h, w, q_tile, B, H, n_yb, n_xb):
+    """Per-(batch, tile) window origin BLOCK indices, centered on the
+    tile's sampling extent (pooled over heads/points). loc: (B,H,Qp,L*P*2)
+    with L == 1."""
+    Qp = loc.shape[2]
+    n_tiles = Qp // q_tile
+    ll = loc.reshape(B, H, n_tiles, q_tile, -1, 2)
+    px = ll[..., 0].astype(jnp.float32) * w + 0.5   # padded coords
+    py = ll[..., 1].astype(jnp.float32) * h + 0.5
+    cx = (px.min(axis=(1, 3, 4)) + px.max(axis=(1, 3, 4))) * 0.5
+    cy = (py.min(axis=(1, 3, 4)) + py.max(axis=(1, 3, 4))) * 0.5
+    win_h = _WIN_NY * _WIN_BH
+    win_w = _WIN_NX * _WIN_BW
+    # round (not truncate) to the nearest block so the window is actually
+    # centered — truncation shifted it by up to one block and pushed edge
+    # samples into the clamp
+    yb = jnp.clip(jnp.round((cy - win_h * 0.5) / _WIN_BH).astype(jnp.int32),
+                  0, n_yb - _WIN_NY)
+    xb = jnp.clip(jnp.round((cx - win_w * 0.5) / _WIN_BW).astype(jnp.int32),
+                  0, n_xb - _WIN_NX)
+    return yb.astype(jnp.int32), xb.astype(jnp.int32)
+
+
+def _msda_kernel_window(
+    yb_ref, xb_ref, tmask_ref,          # scalar prefetch (B, n_tiles)
+    v00, v01, v10, v11, v20, v21,       # (1,H,1,1,128,D) window blocks
+    loc_ref, attn_ref, out_ref,
+    *, h, w, num_points, head_dim, precision=None,
+):
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+    H = loc_ref.shape[1]
+    QT = loc_ref.shape[2]
+    P = num_points
+    D = head_dim
+    active = tmask_ref[b, q] > 0
+    blocks = ((v00, v01), (v10, v11), (v20, v21))
+    y_lo = (yb_ref[b, q] * _WIN_BH).astype(jnp.float32)
+    x_lo = (xb_ref[b, q] * _WIN_BW).astype(jnp.float32)
+    win_h = _WIN_NY * _WIN_BH
+    win_w = _WIN_NX * _WIN_BW
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0, :, :, :])
+
+    @pl.when(active)
+    def _():
+        kdt = v00.dtype
+        prec = precision or jax.lax.Precision.HIGHEST
+        # per-cell coords within one block (shared by all sub-blocks)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (QT, _WIN_BH * _WIN_BW), 1)
+        rr = (sidx // _WIN_BW).astype(jnp.float32)
+        cc = (sidx % _WIN_BW).astype(jnp.float32)
+
+        def head_body(hh, carry):
+            acc = jnp.zeros((QT, D), jnp.float32)
+            # precompute per-point clamped coords + weights once per head
+            pxs, pys, ss = [], [], []
+            for p in range(P):
+                px = loc_ref[0, hh, :, 2 * p:2 * p + 1].astype(
+                    jnp.float32) * w + 0.5
+                py = loc_ref[0, hh, :, 2 * p + 1:2 * p + 2].astype(
+                    jnp.float32) * h + 0.5
+                aw = attn_ref[0, hh, :, p:p + 1].astype(jnp.float32)
+                inside = (
+                    (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
+                ).astype(jnp.float32)
+                # clamp into the window interior (support stays in-window)
+                pxs.append(jnp.clip(px, x_lo + 1.0, x_lo + win_w - 2.0))
+                pys.append(jnp.clip(py, y_lo + 1.0, y_lo + win_h - 2.0))
+                ss.append(aw * inside)
+            for dy in range(_WIN_NY):
+                for dx in range(_WIN_NX):
+                    yy = y_lo + dy * _WIN_BH + rr
+                    xx = x_lo + dx * _WIN_BW + cc
+                    Wm = jnp.zeros((QT, _WIN_BH * _WIN_BW), jnp.float32)
+                    for p in range(P):
+                        wx = jnp.maximum(1.0 - jnp.abs(xx - pxs[p]), 0.0)
+                        wy = jnp.maximum(1.0 - jnp.abs(yy - pys[p]), 0.0)
+                        Wm = Wm + ss[p] * wx * wy
+                    acc = acc + jnp.dot(
+                        Wm.astype(kdt), blocks[dy][dx][0, hh, 0, 0],
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+            out_ref[0, hh, :, :] = acc.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, H, head_body, 0)
+
+
+def _msda_pallas_window_impl(
+    value, spatial_shapes, sampling_locations, attention_weights, *,
+    interpret=False, q_tile=32, tile_mask=None, fast=False,
+):
+    assert len(spatial_shapes) == 1, spatial_shapes
+    (h, w) = spatial_shapes[0]
+    precision = jax.lax.Precision.DEFAULT if fast else None
+    B, V, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    QT = q_tile
+    Qp = ((Q + QT - 1) // QT) * QT
+    if fast:
+        attention_weights = attention_weights.astype(jnp.bfloat16)
+    loc = sampling_locations.reshape(B, Q, H, L * P * 2).transpose(0, 2, 1, 3)
+    attn = attention_weights.reshape(B, Q, H, L * P).transpose(0, 2, 1, 3)
+    if Qp != Q:
+        loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+        attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+    operand = _build_blocked_value(
+        value, h, w, dtype=jnp.bfloat16 if fast else jnp.float32)
+    n_yb, n_xb = operand.shape[2], operand.shape[3]
+    n_tiles = Qp // QT
+    yb, xb = _window_origins(loc, h, w, QT, B, H, n_yb, n_xb)
+    tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
+          else jnp.ones((B, n_tiles), jnp.int32))
+    assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))
+    kernel = functools.partial(
+        _msda_kernel_window, h=h, w=w, num_points=P, head_dim=D,
+        precision=precision,
+    )
+    BC = _WIN_BH * _WIN_BW
+    vspecs = [
+        pl.BlockSpec(
+            (1, H, 1, 1, BC, D),
+            (lambda dy, dx: (lambda b, q, yb, xb, m:
+                             (b, 0, yb[b, q] + dy, xb[b, q] + dx, 0, 0)))(
+                dy, dx),
+            memory_space=pltpu.VMEM)
+        for dy in range(_WIN_NY) for dx in range(_WIN_NX)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, n_tiles),
+        in_specs=vspecs + [
+            pl.BlockSpec((1, H, QT, L * P * 2),
+                         lambda b, q, yb, xb, m: (b, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, QT, L * P),
+                         lambda b, q, yb, xb, m: (b, 0, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, QT, D),
+                               lambda b, q, yb, xb, m: (b, 0, q, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Qp * H * _WIN_NY * _WIN_NX * BC * D,
+            bytes_accessed=B * Qp * H * (6 * BC * D * 2 + L * P * 24),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(yb, xb, tm, *( [operand] * 6 ), loc, attn)
+    return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 6, 7))
 def ms_deform_attn_pallas(
     value,
@@ -507,3 +707,47 @@ def _bwd(spatial_shapes, fast, slab_rows, q_tile, residuals, g):
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 6))
+def ms_deform_attn_pallas_window(
+    value,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations,
+    attention_weights,
+    fast: bool = False,
+    tile_mask=None,
+    q_tile: int = 32,
+):
+    """Block-window kernel for single-level grids beyond VMEM residency
+    (see _msda_pallas_window_impl for the clamping semantics)."""
+    return _msda_pallas_window_impl(
+        value, spatial_shapes, sampling_locations, attention_weights,
+        tile_mask=tile_mask, fast=fast, q_tile=q_tile,
+    )
+
+
+def _window_fwd(value, spatial_shapes, sampling_locations,
+                attention_weights, fast, tile_mask, q_tile):
+    out = _msda_pallas_window_impl(
+        value, spatial_shapes, sampling_locations, attention_weights,
+        tile_mask=tile_mask, fast=fast, q_tile=q_tile,
+    )
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _window_bwd(spatial_shapes, fast, q_tile, residuals, g):
+    # unclamped XLA VJP — exact for in-window samples (all, in practice);
+    # far-outlier clamping is a forward-only saturation
+    from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
+
+    value, sampling_locations, attention_weights = residuals
+    _, vjp = jax.vjp(
+        lambda v, s, a: ms_deform_attn_xla(v, spatial_shapes, s, a),
+        value, sampling_locations, attention_weights,
+    )
+    dv, ds, da = vjp(g)
+    return dv, ds, da, None
+
+
+ms_deform_attn_pallas_window.defvjp(_window_fwd, _window_bwd)

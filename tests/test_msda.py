@@ -190,3 +190,37 @@ def test_pallas_fast_bf16_close():
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05,
                                    err_msg=f"slab={slab}")
         assert got.dtype == want.dtype == np.float32
+
+
+def test_pallas_window_kernel():
+    """Block-window kernel (large single-level grids): exact vs the XLA
+    reference when every tile's samples fit its centered 24x32-cell
+    window; wide samples clamp finitely (documented deviation)."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_window_impl
+
+    rng = np.random.default_rng(7)
+    B, H, D, Q, P = 2, 2, 8, 128, 4
+    h, w = 40, 36
+    value = jnp.asarray(rng.standard_normal((B, h * w, H, D)), jnp.float32)
+    nt = Q // 32
+    locs = np.empty((B, Q, H, 1, P, 2), np.float32)
+    centers = rng.uniform(0.25, 0.75, (B, nt, 2))
+    for b in range(B):
+        for t in range(nt):
+            locs[b, t * 32:(t + 1) * 32] = centers[b, t] + rng.uniform(
+                -0.1, 0.1, (32, H, 1, P, 2))
+    locs = jnp.asarray(np.clip(locs, 0, 1))
+    attn = jnp.asarray(rng.random((B, Q, H, 1, P)), np.float32)
+    want = np.asarray(ms_deform_attn_xla(value, ((h, w),), locs, attn))
+    got = np.asarray(_msda_pallas_window_impl(
+        value, ((h, w),), locs, attn, interpret=True, q_tile=32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # spread-everywhere samples: clamped, finite, and masked tiles zero
+    locs2 = jnp.asarray(rng.uniform(0, 1, (B, Q, H, 1, P, 2)), np.float32)
+    tm = np.ones((B, nt), np.int32)
+    tm[:, -1] = 0
+    got2 = np.asarray(_msda_pallas_window_impl(
+        value, ((h, w),), locs2, attn, interpret=True, q_tile=32,
+        tile_mask=jnp.asarray(tm)))
+    assert np.isfinite(got2).all()
+    assert np.all(got2[:, 96:] == 0)
