@@ -359,9 +359,13 @@ def _msda_pallas_fwd_impl(
     )
     out_shape = jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype)
     # multi-level / large-grid configs need more than the default 16 MB
-    # Mosaic scoped-vmem stack for the per-level mask temporaries
-    compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)
+    # Mosaic scoped-vmem stack for the per-level mask temporaries; leave
+    # the default for small single-level grids (the flagship) — a blanket
+    # raise measurably hurt the slab kernel's pipelining
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if (L > 1 or Vp * H * D * operand.dtype.itemsize > 4 * 1024 * 1024)
+        else None)
     if slab_rows is not None and L == 1:
         (h0, w0) = spatial_shapes[0]
         wp0 = w0 + 2
