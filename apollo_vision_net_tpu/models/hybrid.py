@@ -29,7 +29,6 @@ from apollo_vision_net_tpu.models.decoder import DetectionTransformerDecoder
 from apollo_vision_net_tpu.models.heads.det_head import (
     BEVFormerHead,
     ClsBranch,
-    RegBranch,
 )
 from apollo_vision_net_tpu.models.heads.occ_head import OccMLPBranch
 from apollo_vision_net_tpu.models.pos_encoding import LearnedPositionalEncoding

@@ -34,7 +34,6 @@ from apollo_vision_net_tpu.models.decoder import DetectionTransformerDecoder
 from apollo_vision_net_tpu.models.heads.det_head import (
     BEVFormerHead,
     ClsBranch,
-    RegBranch,
 )
 from apollo_vision_net_tpu.models.heads.occ_head import OccMLPBranch
 from apollo_vision_net_tpu.ops.grid_sample import rotate_2d
