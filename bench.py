@@ -61,4 +61,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # pragma: no cover - TPU-environment resilience
+        # the axon TPU worker occasionally crashes/restarts mid-session
+        # (observed: FAILED_PRECONDITION / UNAVAILABLE); one clean-process
+        # retry rides out the restart. Never fabricates a number — a second
+        # failure propagates.
+        import sys
+        import traceback
+
+        if os.environ.get("BENCH_RETRIED"):
+            raise
+        traceback.print_exc()
+        print("bench: retrying once in a fresh process", file=sys.stderr)
+        env = dict(os.environ, BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
