@@ -309,7 +309,10 @@ class SpatialCrossAttention(nn.Module):
         )
         slab = None
         if self.use_slab and len(spatial_shapes) == 1:
-            slab = max(8, (spatial_shapes[0][0] + 2 + 1) // 2)
+            # ~1/3 of the image height: an 8x4-cell BEV tile's pillar
+            # projects a p50 ~10-row band (measured on real projection
+            # geometry at q_tile=64); wide tiles fall back exactly
+            slab = max(8, (spatial_shapes[0][0] + 2 + 2) // 3)
         out = inner(q_cam, v_cam, reference_points=ref,
                     spatial_shapes=spatial_shapes, tile_mask=tile_mask,
                     slab_rows=slab, q_tile=self.q_tile)
