@@ -141,9 +141,13 @@ class TemporalSelfAttention(nn.Module):
         (bh, bw) = spatial_shapes[0]
         slab = (min(bh + 2, self.q_tile // max(bw, 1) + 12) if self.use_slab
                 else None)
+        # window=True: TSA's learned offsets are initialized within 4 cells
+        # and stay spatially compact, so on grids beyond VMEM residency
+        # (200x200 base BEV) the clamped block-window kernel is safe — the
+        # explicit opt-in keeps wide-sampling callers (SCA) off that path
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
                              impl=self.msda_impl, slab_rows=slab,
-                             q_tile=self.q_tile)
+                             q_tile=self.q_tile, window=True)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
         out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
                        name="output_proj")(out)

@@ -191,6 +191,7 @@ def ms_deform_attn(
     tile_mask: jnp.ndarray | None = None,
     slab_rows: int | None = None,
     q_tile: int = 128,
+    window: bool = False,
 ) -> jnp.ndarray:
     """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}, each with
     an optional '_fast' suffix (single-bf16-pass MXU sampling; pairs with
@@ -205,6 +206,13 @@ def ms_deform_attn(
     compact row bands of the value grid (BEV self-attention; projected
     camera bands), the Pallas kernel contracts each tile against only a
     slab_rows-tall window with an exact full-width fallback for outliers.
+
+    window: EXPLICIT opt-in to the clamped block-window kernel for
+    single-level grids beyond VMEM residency (200x200 BEV TSA). The window
+    kernel caps each tile's sampling extent at a 24x32-cell window with no
+    exact fallback, so only callers whose sampling offsets are known to be
+    spatially compact (temporal self-attention) should set it; without it,
+    oversize grids take the exact XLA patch-gather path.
     """
     fast = impl.endswith("_fast")
     impl = impl[:-5] if fast else impl
@@ -229,7 +237,7 @@ def ms_deform_attn(
                 value, spatial_shapes, sampling_locations, attention_weights,
                 fast, tile_mask, slab_rows, q_tile,
             )
-        if on_tpu and len(spatial_shapes) == 1 and slab_rows is not None:
+        if on_tpu and len(spatial_shapes) == 1 and window:
             # single-level grid too large for whole-value VMEM residency
             # (200x200 BEV TSA): block-window kernel — sampling locations
             # clamp into a per-tile 24x32-cell window (DEVIATIONS.md); the

@@ -96,8 +96,7 @@ def _build_padded_value(value, spatial_shapes, dtype=None):
     return jnp.concatenate(out, axis=2)
 
 
-def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
-                   mask_dtype=jnp.float32):
+def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base):
     """Combined (QT, S) scatter mask for one (head, level).
 
     loc_hd: (QT, L*P*2) this head's sampling locations; attn_hd: (QT, L*P).
@@ -106,24 +105,17 @@ def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
     which matches the reference clip+mask exactly; border corners land on
     the zero padding ring.
 
-    mask_dtype=bf16 (fast mode) runs the wide (QT, S) hat-function passes
-    as packed bf16 VPU ops (2x lane throughput). Accuracy holds because
-    the arithmetic is row/column-decomposed: integer cell coords <= 256
-    are EXACT in bf16, the sample coordinate rides as exact-int floor +
-    bf16 fraction (quantum ~0.004), and the hat is nonzero only where
-    |d| < 1 — so the weights err by <~0.5% while far cells stay exactly
-    zero. Requires grid sides <= 254 (asserted)."""
+    The mask build is pinned to f32. A bf16 variant (int/frac-split hat
+    arithmetic to keep the cell coords exact) was measured 1.4x SLOWER
+    end-to-end: Mosaic does not pack these mixed-width VPU chains, so the
+    extra passes only added cost (round-2 negative result)."""
     wp = w + 2
     col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
-    fast = mask_dtype == jnp.bfloat16
-    if fast:
-        assert h + 2 <= 256 and w + 2 <= 256, (h, w)
     # padded-grid integer coords of every flat cell (computed once,
     # amortized over the point loop)
-    yc = (col // wp).astype(mask_dtype)
-    xc = (col % wp).astype(mask_dtype)
-    one = jnp.asarray(1.0, mask_dtype)
-    Wm = jnp.zeros((QT, S), mask_dtype)
+    yc = (col // wp).astype(jnp.float32)
+    xc = (col % wp).astype(jnp.float32)
+    Wm = jnp.zeros((QT, S), jnp.float32)
     for p in range(num_points):
         flat = lvl * num_points + p
         # PADDED coords: img coord + 1  (px_img = loc*w - 0.5)
@@ -134,19 +126,9 @@ def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
         inside = (
             (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
         ).astype(jnp.float32)
-        s = (aw * inside).astype(mask_dtype)
-        if fast:
-            # int/frac split: ints <= 256 subtract exactly in bf16; the
-            # fraction carries the precision where the hat support lives
-            ixf = jnp.floor(px)
-            iyf = jnp.floor(py)
-            dx = (xc - ixf.astype(mask_dtype)) - (px - ixf).astype(mask_dtype)
-            dy = (yc - iyf.astype(mask_dtype)) - (py - iyf).astype(mask_dtype)
-        else:
-            dx = xc - px.astype(mask_dtype)
-            dy = yc - py.astype(mask_dtype)
-        wx = jnp.maximum(one - jnp.abs(dx), 0)
-        wy = jnp.maximum(one - jnp.abs(dy), 0)
+        s = aw * inside
+        wx = jnp.maximum(1.0 - jnp.abs(xc - px), 0)
+        wy = jnp.maximum(1.0 - jnp.abs(yc - py), 0)
         Wm = Wm + s * wx * wy
     return Wm
 
@@ -154,7 +136,6 @@ def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
 def _contract_all_heads(
     value_ref, loc_ref, attn_ref, out_ref, *,
     spatial_shapes, num_points, head_dim, precision,
-    mask_dtype=jnp.float32,
 ):
     """Full-width body: for every head, build the per-level scatter mask
     and contract against that level's value block."""
@@ -176,7 +157,6 @@ def _contract_all_heads(
             Wm = _weighted_mask(
                 loc_ref[0, hh], attn_ref[0, hh], lvl=lvl,
                 num_points=num_points, h=h, w=w, QT=QT, S=S, base=0,
-                mask_dtype=mask_dtype,
             )
             acc = acc + jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -198,12 +178,11 @@ def _msda_kernel(
     num_points: int,
     head_dim: int,
     precision=None,
-    mask_dtype=jnp.float32,
 ):
     _contract_all_heads(
         value_ref, loc_ref, attn_ref, out_ref,
         spatial_shapes=spatial_shapes, num_points=num_points,
-        head_dim=head_dim, precision=precision, mask_dtype=mask_dtype,
+        head_dim=head_dim, precision=precision,
     )
 
 
@@ -211,7 +190,6 @@ def _msda_kernel_masked(
     tile_mask_ref,  # scalar prefetch: (B, n_qtiles) int32
     value_ref, loc_ref, attn_ref, out_ref,
     *, spatial_shapes, num_points, head_dim, precision=None,
-    mask_dtype=jnp.float32,
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
@@ -222,7 +200,7 @@ def _msda_kernel_masked(
         _contract_all_heads(
             value_ref, loc_ref, attn_ref, out_ref,
             spatial_shapes=spatial_shapes, num_points=num_points,
-            head_dim=head_dim, precision=precision, mask_dtype=mask_dtype,
+            head_dim=head_dim, precision=precision,
         )
 
     @pl.when(jnp.logical_not(active))
@@ -236,7 +214,7 @@ def _msda_kernel_slab(
     tmask_ref,      # (B, n_qtiles) int32 tile visibility
     value_ref, loc_ref, attn_ref, out_ref,
     *, spatial_shapes, num_points, head_dim, slab_elems, sublane_align,
-    precision=None, mask_dtype=jnp.float32,
+    precision=None,
 ):
     """Row-slab windowed variant (single level). Numerically identical to
     the full kernel: a sample outside the slab can only exist when wide=1,
@@ -259,7 +237,7 @@ def _msda_kernel_slab(
         _contract_all_heads(
             value_ref, loc_ref, attn_ref, out_ref,
             spatial_shapes=spatial_shapes, num_points=num_points,
-            head_dim=D, precision=precision, mask_dtype=mask_dtype,
+            head_dim=D, precision=precision,
         )
 
     @pl.when(active & jnp.logical_not(wide))
@@ -278,7 +256,7 @@ def _msda_kernel_slab(
             Wm = _weighted_mask(
                 loc_ref[0, hh], attn_ref[0, hh], lvl=0,
                 num_points=num_points, h=h, w=w, QT=QT, S=slab_elems,
-                base=base, mask_dtype=mask_dtype,
+                base=base,
             )
             out_ref[0, hh, :, :] = jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -345,10 +323,6 @@ def _msda_pallas_fwd_impl(
     operand = _build_padded_value(
         value, spatial_shapes,
         dtype=jnp.bfloat16 if fast else jnp.float32)
-    # mask build stays f32: a bf16 mask variant (int/frac-split hat
-    # arithmetic) was measured 1.4x SLOWER end-to-end — Mosaic does not
-    # pack these mixed-width VPU chains, so the extra passes just cost more
-    mask_dtype = jnp.float32
     Vp = operand.shape[2]
     n_tiles = Qp // QT
     shapes_t = tuple(tuple(s) for s in spatial_shapes)
@@ -380,7 +354,7 @@ def _msda_pallas_fwd_impl(
             _msda_kernel_slab,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
             slab_elems=slab_elems, sublane_align=align,
-            precision=precision, mask_dtype=mask_dtype,
+            precision=precision,
         )
         cost_slab = pl.CostEstimate(
             flops=2 * B * Qp * H * slab_elems * D,
@@ -418,7 +392,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel_masked,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
-            precision=precision, mask_dtype=mask_dtype,
+            precision=precision,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -447,7 +421,7 @@ def _msda_pallas_fwd_impl(
         kernel = functools.partial(
             _msda_kernel,
             spatial_shapes=shapes_t, num_points=P, head_dim=D,
-            precision=precision, mask_dtype=mask_dtype,
+            precision=precision,
         )
         out = pl.pallas_call(
             kernel,
@@ -509,17 +483,35 @@ def _build_blocked_value(value, h, w, dtype):
     return v.reshape(B, H, n_yb, n_xb, _WIN_BH * _WIN_BW, D)
 
 
-def _window_origins(loc, h, w, q_tile, B, H, n_yb, n_xb):
+def _window_origins(loc, h, w, q_tile, B, H, n_yb, n_xb, q_valid=None):
     """Per-(batch, tile) window origin BLOCK indices, centered on the
     tile's sampling extent (pooled over heads/points). loc: (B,H,Qp,L*P*2)
-    with L == 1."""
+    with L == 1.
+
+    The extent pools only over samples that can CONTRIBUTE: out-of-grid
+    samples are zeroed by the in-kernel ``inside`` flag and zero-padded
+    tail queries (q >= q_valid when Q % q_tile != 0, loc=0 -> px=0.5) are
+    sliced off by the caller — either kind used to drag the window center
+    away from the tile's real samples, pushing in-grid samples into the
+    clamp (round-2 ADVICE medium finding)."""
     Qp = loc.shape[2]
     n_tiles = Qp // q_tile
     ll = loc.reshape(B, H, n_tiles, q_tile, -1, 2)
     px = ll[..., 0].astype(jnp.float32) * w + 0.5   # padded coords
     py = ll[..., 1].astype(jnp.float32) * h + 0.5
-    cx = (px.min(axis=(1, 3, 4)) + px.max(axis=(1, 3, 4))) * 0.5
-    cy = (py.min(axis=(1, 3, 4)) + py.max(axis=(1, 3, 4))) * 0.5
+    valid = (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
+    if q_valid is not None and q_valid != Qp:
+        qidx = jnp.arange(Qp).reshape(n_tiles, q_tile)
+        valid &= (qidx < q_valid)[None, None, :, :, None]  # (1,1,T,QT,1)
+    big = jnp.float32(1e9)
+    px_min = jnp.where(valid, px, big).min(axis=(1, 3, 4))
+    px_max = jnp.where(valid, px, -big).max(axis=(1, 3, 4))
+    py_min = jnp.where(valid, py, big).min(axis=(1, 3, 4))
+    py_max = jnp.where(valid, py, -big).max(axis=(1, 3, 4))
+    # a tile with no contributing samples yields (big + -big)/2 = 0 ->
+    # clipped origin 0; its output is all-zero regardless of the window
+    cx = (px_min + px_max) * 0.5
+    cy = (py_min + py_max) * 0.5
     win_h = _WIN_NY * _WIN_BH
     win_w = _WIN_NX * _WIN_BW
     # round (not truncate) to the nearest block so the window is actually
@@ -577,9 +569,14 @@ def _msda_kernel_window(
                 inside = (
                     (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
                 ).astype(jnp.float32)
-                # clamp into the window interior (support stays in-window)
-                pxs.append(jnp.clip(px, x_lo + 1.0, x_lo + win_w - 2.0))
-                pys.append(jnp.clip(py, y_lo + 1.0, y_lo + win_h - 2.0))
+                # clamp onto the window's cell range: a sample AT cell
+                # x_lo (or x_lo+win_w-1) puts its whole hat mass on that
+                # cell (the neighbour's weight is exactly 0), so the full
+                # [x_lo, x_lo+win_w-1] range keeps the bilinear support
+                # in-window — including the zero-padding fade at grid
+                # borders, which a 1-cell-tighter clamp used to cut off
+                pxs.append(jnp.clip(px, x_lo, x_lo + win_w - 1.0))
+                pys.append(jnp.clip(py, y_lo, y_lo + win_h - 1.0))
                 ss.append(aw * inside)
             for dy in range(_WIN_NY):
                 for dx in range(_WIN_NX):
@@ -622,7 +619,7 @@ def _msda_pallas_window_impl(
         value, h, w, dtype=jnp.bfloat16 if fast else jnp.float32)
     n_yb, n_xb = operand.shape[2], operand.shape[3]
     n_tiles = Qp // QT
-    yb, xb = _window_origins(loc, h, w, QT, B, H, n_yb, n_xb)
+    yb, xb = _window_origins(loc, h, w, QT, B, H, n_yb, n_xb, q_valid=Q)
     tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
           else jnp.ones((B, n_tiles), jnp.int32))
     assert tm.shape == (B, n_tiles), (tm.shape, (B, n_tiles))

@@ -224,3 +224,54 @@ def test_pallas_window_kernel():
         tile_mask=jnp.asarray(tm)))
     assert np.isfinite(got2).all()
     assert np.all(got2[:, 96:] == 0)
+
+
+def test_pallas_window_kernel_origin_robustness():
+    """The window center must ignore (a) zero-padded tail queries when
+    Q % q_tile != 0 and (b) far out-of-grid samples (which contribute zero
+    anyway): with both present, in-grid compact samples stay exact vs XLA
+    (ADVICE round-2 medium finding)."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_window_impl
+
+    rng = np.random.default_rng(11)
+    B, H, D, P = 1, 2, 8, 4
+    h, w = 48, 48
+    Q = 40  # one 32-tile + a 8-query tail tile padded to 32
+    value = jnp.asarray(rng.standard_normal((B, h * w, H, D)), jnp.float32)
+    locs = np.empty((B, Q, H, 1, P, 2), np.float32)
+    # tile 0: compact cluster near the FAR corner (0.85) — a zero-padded
+    # tail at loc=0 or an outlier at -3 used to drag its window to origin
+    locs[:, :32] = 0.85 + rng.uniform(-0.05, 0.05, (B, 32, H, 1, P, 2))
+    locs[:, 32:] = 0.85 + rng.uniform(-0.05, 0.05, (B, Q - 32, H, 1, P, 2))
+    # one far out-of-grid sample per tile (contributes 0 via inside flag)
+    locs[:, 0, 0, 0, 0] = (-3.0, -3.0)
+    locs[:, 33, 0, 0, 0] = (4.0, 4.0)
+    locs = jnp.asarray(locs)
+    attn = jnp.asarray(rng.random((B, Q, H, 1, P)), np.float32)
+    want = np.asarray(ms_deform_attn_xla(value, ((h, w),), locs, attn))
+    got = np.asarray(_msda_pallas_window_impl(
+        value, ((h, w),), locs, attn, interpret=True, q_tile=32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_window_kernel_border_fade():
+    """Samples within half a cell of the image border bilinearly fade into
+    the zero padding exactly (the former 1-cell-tighter clamp snapped them
+    to the edge pixel at full weight — ADVICE round-2 low finding)."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_window_impl
+
+    rng = np.random.default_rng(13)
+    B, H, D, P = 1, 2, 8, 4
+    h, w = 40, 40
+    Q = 32
+    value = jnp.asarray(rng.standard_normal((B, h * w, H, D)), jnp.float32)
+    # all samples hug the top-left border: normalized coords in
+    # (0, 0.5/w) — i.e. inside the image but within half a cell of the
+    # edge, where grid_sample blends with zero padding
+    locs = jnp.asarray(
+        rng.uniform(1e-3, 0.5 / w, (B, Q, H, 1, P, 2)), np.float32)
+    attn = jnp.asarray(rng.random((B, Q, H, 1, P)), np.float32)
+    want = np.asarray(ms_deform_attn_xla(value, ((h, w),), locs, attn))
+    got = np.asarray(_msda_pallas_window_impl(
+        value, ((h, w),), locs, attn, interpret=True, q_tile=32))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
