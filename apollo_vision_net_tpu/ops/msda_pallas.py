@@ -138,24 +138,33 @@ def _contract_all_heads(
     spatial_shapes, num_points, head_dim, precision,
 ):
     """Full-width body: for every head, build the per-level scatter mask
-    and contract against that level's value block."""
+    and contract against that level's value block.
+
+    loc/attn ride in their NATURAL (QT, H·L·P·…) layout — the head axis
+    lives in lanes, so the head loop is a static Python unroll (a traced
+    lane offset would force Mosaic lane-rotate ops; a static slice is
+    free). The old head-major (H, QT, LP) layout needed a host-side
+    transpose copy AND lane-padded LP=8 → 128 in every VMEM block (16×
+    DMA bloat) — measured ~0.9 ms/frame of pad/copy glue at the flagship."""
     H = value_ref.shape[1]
-    QT = loc_ref.shape[2]
+    QT = loc_ref.shape[1]
     D = head_dim
+    L = len(spatial_shapes)
+    P = num_points
+    lp2, lp = L * P * 2, L * P
     pstarts = np.concatenate([[0], np.cumsum(_padded_sizes(spatial_shapes))])
     kdt = value_ref.dtype
     prec = precision or jax.lax.Precision.HIGHEST
 
-    # fori_loop (not Python unroll): bounds the live mask temporaries to one
-    # head — 8 unrolled heads of (QT, S) f32 masks blow the 16 MB Mosaic
-    # scoped-vmem stack.
-    def head_body(hh, carry):
+    for hh in range(H):
+        loc_hd = loc_ref[0, :, hh * lp2:(hh + 1) * lp2]
+        attn_hd = attn_ref[0, :, hh * lp:(hh + 1) * lp]
         acc = jnp.zeros((QT, D), dtype=jnp.float32)
         for lvl, (h, w) in enumerate(spatial_shapes):
             S = int(pstarts[lvl + 1] - pstarts[lvl])
             vblock = value_ref[0, hh, pstarts[lvl]:pstarts[lvl + 1], :]
             Wm = _weighted_mask(
-                loc_ref[0, hh], attn_ref[0, hh], lvl=lvl,
+                loc_hd, attn_hd, lvl=lvl,
                 num_points=num_points, h=h, w=w, QT=QT, S=S, base=0,
             )
             acc = acc + jnp.dot(
@@ -163,15 +172,12 @@ def _contract_all_heads(
                 preferred_element_type=jnp.float32, precision=prec,
             )
         out_ref[0, hh, :, :] = acc.astype(out_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, H, head_body, 0)
 
 
 def _msda_kernel(
     value_ref,  # (1, H, Vp, D) — one batch element's padded value
-    loc_ref,    # (1, H, QT, L*P*2)
-    attn_ref,   # (1, H, QT, L*P)
+    loc_ref,    # (1, QT, H*L*P*2) natural layout
+    attn_ref,   # (1, QT, H*L*P)
     out_ref,    # (1, H, QT, D)
     *,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -223,8 +229,9 @@ def _msda_kernel_slab(
     q = pl.program_id(1)
     (h, w) = spatial_shapes[0]
     H = value_ref.shape[1]
-    QT = loc_ref.shape[2]
+    QT = loc_ref.shape[1]
     D = head_dim
+    P = num_points
     active = tmask_ref[b, q] > 0
     wide = wide_ref[b, q] > 0
 
@@ -251,10 +258,11 @@ def _msda_kernel_slab(
         kdt = value_ref.dtype
         prec = precision or jax.lax.Precision.HIGHEST
 
-        def head_body(hh, carry):
+        for hh in range(H):
             vblock = value_ref[0, hh, pl.ds(base, slab_elems), :]
             Wm = _weighted_mask(
-                loc_ref[0, hh], attn_ref[0, hh], lvl=0,
+                loc_ref[0, :, hh * P * 2:(hh + 1) * P * 2],
+                attn_ref[0, :, hh * P:(hh + 1) * P], lvl=0,
                 num_points=num_points, h=h, w=w, QT=QT, S=slab_elems,
                 base=base,
             )
@@ -262,29 +270,26 @@ def _msda_kernel_slab(
                 Wm.astype(kdt), vblock,
                 preferred_element_type=jnp.float32, precision=prec,
             ).astype(out_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, H, head_body, 0)
 
 
 def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H, align=8):
     """Per-(batch, tile) flat slab starts + wide flags from the sampling
-    locations. loc: (B, H, Qp, L*P*2) with L == 1. A tile is 'wide' when
-    its touched flat-index interval does not fit in slab_elems. The bounds
-    pool over heads: all heads share one slab per (batch, tile).
+    locations. loc: natural (B, Qp, H*L*P*2) with L == 1. A tile is 'wide'
+    when its touched flat-index interval does not fit in slab_elems. The
+    bounds pool over heads: all heads share one slab per (batch, tile).
 
     align: sublane alignment of the dynamic start — 8 for f32 operands,
     16 for bf16 (TPU (16, 128) tiling)."""
     (h, w) = spatial_shapes[0]
     wp = w + 2
     vp = (h + 2) * wp
-    Qp = loc.shape[2]
+    Qp = loc.shape[1]
     n_tiles = Qp // q_tile
-    ll = loc.reshape(B, H, n_tiles, q_tile, -1, 2)
+    ll = loc.reshape(B, n_tiles, q_tile, H, -1, 2)
     py = ll[..., 1].astype(jnp.float32) * h - 0.5
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), -1, h - 1) + 1  # [0, h]
-    rmin = y0.min(axis=(1, 3, 4))          # (B, n_tiles)
-    rmax = y0.max(axis=(1, 3, 4)) + 1      # +1: lower bilinear corner row
+    rmin = y0.min(axis=(2, 3, 4))          # (B, n_tiles)
+    rmax = y0.max(axis=(2, 3, 4)) + 1      # +1: lower bilinear corner row
     base = (rmin * wp) // align * align    # sublane-aligned flat start
     base = jnp.clip(base, 0, max(vp - slab_elems, 0))
     base = base // align * align           # re-align: the clip cap (vp -
@@ -304,19 +309,19 @@ def _msda_pallas_fwd_impl(
     _, Q, _, L, P, _ = sampling_locations.shape
     QT = q_tile
     Qp = ((Q + QT - 1) // QT) * QT
-    # (B, Q, H, L, P, 2) -> (B, H, Qp, L*P*2)
+    # loc/attn keep their NATURAL (B, Q, H·L·P·…) flat layout: no host-side
+    # transpose copy, and the lane dim is H·L·P(·2) — 64/128 at the flagship
+    # — instead of the head-major layout's LP=8 lanes padded 16× to 128.
     # fast mode: attention weights ride in bf16 (softmax outputs in [0,1] —
-    # 8 mantissa bits ≈ 0.4% rel err). The (…, LP) tensors lane-pad 8->128
-    # in T(8,128) layout, so halving the element width halves ~1 ms/frame
-    # of pad+DMA bloat at the flagship. Locations stay f32: bf16 would
+    # 8 mantissa bits ≈ 0.4% rel err). Locations stay f32: bf16 would
     # quantize a 50-grid coordinate by ~0.4 cell.
     if fast:
         attention_weights = attention_weights.astype(jnp.bfloat16)
-    loc = sampling_locations.reshape(B, Q, H, L * P * 2).transpose(0, 2, 1, 3)
-    attn = attention_weights.reshape(B, Q, H, L * P).transpose(0, 2, 1, 3)
+    loc = sampling_locations.reshape(B, Q, H * L * P * 2)
+    attn = attention_weights.reshape(B, Q, H * L * P)
     if Qp != Q:
-        loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
-        attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
+        attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
     # exact mode pins the operand to f32 even when the caller's trunk runs
     # bf16 activations: Mosaic rejects HIGHEST (fp32-contract) matmuls on
     # bf16 inputs ("Bad lhs type"), and exact mode's contract is f32 math
@@ -368,11 +373,11 @@ def _msda_pallas_fwd_impl(
                 pl.BlockSpec((1, H, Vp, D),
                              lambda b, q, s, wf, m: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P * 2),
-                             lambda b, q, s, wf, m: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P * 2),
+                             lambda b, q, s, wf, m: (b, q, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P),
-                             lambda b, q, s, wf, m: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P),
+                             lambda b, q, s, wf, m: (b, q, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, H, QT, D),
@@ -401,11 +406,11 @@ def _msda_pallas_fwd_impl(
                 pl.BlockSpec((1, H, Vp, D),
                              lambda b, q, m: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P * 2),
-                             lambda b, q, m: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P * 2),
+                             lambda b, q, m: (b, q, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P),
-                             lambda b, q, m: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P),
+                             lambda b, q, m: (b, q, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, H, QT, D),
@@ -429,10 +434,10 @@ def _msda_pallas_fwd_impl(
             in_specs=[
                 pl.BlockSpec((1, H, Vp, D), lambda b, q: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P * 2),
-                             lambda b, q: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P * 2),
+                             lambda b, q: (b, q, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, QT, L * P), lambda b, q: (b, 0, q, 0),
+                pl.BlockSpec((1, QT, H * L * P), lambda b, q: (b, q, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, H, QT, D), lambda b, q: (b, 0, q, 0),
@@ -485,8 +490,8 @@ def _build_blocked_value(value, h, w, dtype):
 
 def _window_origins(loc, h, w, q_tile, B, H, n_yb, n_xb, q_valid=None):
     """Per-(batch, tile) window origin BLOCK indices, centered on the
-    tile's sampling extent (pooled over heads/points). loc: (B,H,Qp,L*P*2)
-    with L == 1.
+    tile's sampling extent (pooled over heads/points). loc: natural
+    (B, Qp, H*L*P*2) with L == 1.
 
     The extent pools only over samples that can CONTRIBUTE: out-of-grid
     samples are zeroed by the in-kernel ``inside`` flag and zero-padded
@@ -494,20 +499,20 @@ def _window_origins(loc, h, w, q_tile, B, H, n_yb, n_xb, q_valid=None):
     sliced off by the caller — either kind used to drag the window center
     away from the tile's real samples, pushing in-grid samples into the
     clamp (round-2 ADVICE medium finding)."""
-    Qp = loc.shape[2]
+    Qp = loc.shape[1]
     n_tiles = Qp // q_tile
-    ll = loc.reshape(B, H, n_tiles, q_tile, -1, 2)
+    ll = loc.reshape(B, n_tiles, q_tile, H, -1, 2)
     px = ll[..., 0].astype(jnp.float32) * w + 0.5   # padded coords
     py = ll[..., 1].astype(jnp.float32) * h + 0.5
     valid = (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
     if q_valid is not None and q_valid != Qp:
         qidx = jnp.arange(Qp).reshape(n_tiles, q_tile)
-        valid &= (qidx < q_valid)[None, None, :, :, None]  # (1,1,T,QT,1)
+        valid &= (qidx < q_valid)[None, :, :, None, None]  # (1,T,QT,1,1)
     big = jnp.float32(1e9)
-    px_min = jnp.where(valid, px, big).min(axis=(1, 3, 4))
-    px_max = jnp.where(valid, px, -big).max(axis=(1, 3, 4))
-    py_min = jnp.where(valid, py, big).min(axis=(1, 3, 4))
-    py_max = jnp.where(valid, py, -big).max(axis=(1, 3, 4))
+    px_min = jnp.where(valid, px, big).min(axis=(2, 3, 4))
+    px_max = jnp.where(valid, px, -big).max(axis=(2, 3, 4))
+    py_min = jnp.where(valid, py, big).min(axis=(2, 3, 4))
+    py_max = jnp.where(valid, py, -big).max(axis=(2, 3, 4))
     # a tile with no contributing samples yields (big + -big)/2 = 0 ->
     # clipped origin 0; its output is all-zero regardless of the window
     cx = (px_min + px_max) * 0.5
@@ -532,8 +537,8 @@ def _msda_kernel_window(
 ):
     b = pl.program_id(0)
     q = pl.program_id(1)
-    H = loc_ref.shape[1]
-    QT = loc_ref.shape[2]
+    H = v00.shape[1]
+    QT = loc_ref.shape[1]
     P = num_points
     D = head_dim
     active = tmask_ref[b, q] > 0
@@ -556,16 +561,17 @@ def _msda_kernel_window(
         rr = (sidx // _WIN_BW).astype(jnp.float32)
         cc = (sidx % _WIN_BW).astype(jnp.float32)
 
-        def head_body(hh, carry):
+        for hh in range(H):
             acc = jnp.zeros((QT, D), jnp.float32)
             # precompute per-point clamped coords + weights once per head
             pxs, pys, ss = [], [], []
             for p in range(P):
-                px = loc_ref[0, hh, :, 2 * p:2 * p + 1].astype(
+                f = hh * P + p
+                px = loc_ref[0, :, 2 * f:2 * f + 1].astype(
                     jnp.float32) * w + 0.5
-                py = loc_ref[0, hh, :, 2 * p + 1:2 * p + 2].astype(
+                py = loc_ref[0, :, 2 * f + 1:2 * f + 2].astype(
                     jnp.float32) * h + 0.5
-                aw = attn_ref[0, hh, :, p:p + 1].astype(jnp.float32)
+                aw = attn_ref[0, :, f:f + 1].astype(jnp.float32)
                 inside = (
                     (px > 0.0) & (px < w + 1.0) & (py > 0.0) & (py < h + 1.0)
                 ).astype(jnp.float32)
@@ -592,9 +598,6 @@ def _msda_kernel_window(
                         preferred_element_type=jnp.float32, precision=prec,
                     )
             out_ref[0, hh, :, :] = acc.astype(out_ref.dtype)
-            return carry
-
-        jax.lax.fori_loop(0, H, head_body, 0)
 
 
 def _msda_pallas_window_impl(
@@ -610,11 +613,11 @@ def _msda_pallas_window_impl(
     Qp = ((Q + QT - 1) // QT) * QT
     if fast:
         attention_weights = attention_weights.astype(jnp.bfloat16)
-    loc = sampling_locations.reshape(B, Q, H, L * P * 2).transpose(0, 2, 1, 3)
-    attn = attention_weights.reshape(B, Q, H, L * P).transpose(0, 2, 1, 3)
+    loc = sampling_locations.reshape(B, Q, H * L * P * 2)
+    attn = attention_weights.reshape(B, Q, H * L * P)
     if Qp != Q:
-        loc = jnp.pad(loc, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
-        attn = jnp.pad(attn, [(0, 0), (0, 0), (0, Qp - Q), (0, 0)])
+        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
+        attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
     operand = _build_blocked_value(
         value, h, w, dtype=jnp.bfloat16 if fast else jnp.float32)
     n_yb, n_xb = operand.shape[2], operand.shape[3]
@@ -641,11 +644,11 @@ def _msda_pallas_window_impl(
         num_scalar_prefetch=3,
         grid=(B, n_tiles),
         in_specs=vspecs + [
-            pl.BlockSpec((1, H, QT, L * P * 2),
-                         lambda b, q, yb, xb, m: (b, 0, q, 0),
+            pl.BlockSpec((1, QT, H * L * P * 2),
+                         lambda b, q, yb, xb, m: (b, q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, QT, L * P),
-                         lambda b, q, yb, xb, m: (b, 0, q, 0),
+            pl.BlockSpec((1, QT, H * L * P),
+                         lambda b, q, yb, xb, m: (b, q, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, QT, D),

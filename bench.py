@@ -7,9 +7,14 @@ The steady-state loop runs as a lax.scan over frames INSIDE one jit — the
 prev_bev recurrence keeps every step sequentially dependent (no pipelining
 cheat), while keeping host dispatch off the measured path, matching how a
 production serving loop enqueues work.
+
+``--config NAME`` benches any config family's streaming step the same way
+(e.g. ``--config bev_base_occ`` for the 200x200 base-scale path); the
+default (no args) is the flagship det+map closed loop the driver records.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
@@ -24,10 +29,48 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 N_FRAMES = 32
 
 
-def main():
-    from __graft_entry__ import entry
+def config_entry(name: str):
+    """(fn, example_args) for an arbitrary config family's streaming step —
+    the generic analog of __graft_entry__.entry()."""
+    from apollo_vision_net_tpu import configs as cfglib
+    from apollo_vision_net_tpu.data.synthetic import make_batch
+    from apollo_vision_net_tpu.models.detector import BEVFormer
+    from apollo_vision_net_tpu.parallel.train import build_model, init_state
 
-    fn, args = entry()
+    cfg = getattr(cfglib, name)()
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=1, seed=0))
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    model = build_model(cfg)
+    Q = model.prev_tokens
+
+    def fn(params, img, can_bus, lidar2img, prev_bev, has_prev):
+        outs, new_prev = model.apply(
+            {"params": params}, img, can_bus, lidar2img, prev_bev,
+            has_prev, method=BEVFormer.forward_test_frame,
+        )
+        # first array leaf as the liveness anchor (family-independent)
+        first = next(x for x in jax.tree.leaves(outs)
+                     if hasattr(x, "dtype"))
+        return (first, new_prev)
+
+    example_args = (
+        state.params,
+        batch["img"][:, -1],
+        batch["can_bus"][:, -1],
+        batch["lidar2img"][:, -1],
+        jnp.zeros((1, Q, cfg.model.embed_dims), jnp.float32),
+        jnp.ones((1,), jnp.float32),
+    )
+    return fn, example_args
+
+
+def main(config: str | None = None, n_frames: int = N_FRAMES):
+    if config is None:
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+    else:
+        fn, args = config_entry(config)
     params, img, can_bus, lidar2img, prev0, has_prev = args
 
     @jax.jit
@@ -37,7 +80,7 @@ def main():
             im = img + (i.astype(img.dtype) * 1e-6)
             outs = fn(params, im, can_bus, lidar2img, prev, has_prev)
             return outs[-1], outs[0].sum()
-        prev, sums = jax.lax.scan(body, prev, jnp.arange(N_FRAMES))
+        prev, sums = jax.lax.scan(body, prev, jnp.arange(n_frames))
         return prev, sums.sum()
 
     # warmup / compile
@@ -50,10 +93,11 @@ def main():
     dt = time.perf_counter() - t0
 
     batch = int(img.shape[0])
-    fps = batch * N_FRAMES / dt
+    fps = batch * n_frames / dt
     baseline = 60.0
     print(json.dumps({
-        "metric": "6cam_frames_per_sec_per_chip",
+        "metric": "6cam_frames_per_sec_per_chip" + (
+            "" if config is None else f"[{config}]"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 4),
@@ -61,9 +105,15 @@ def main():
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="config factory name (default: flagship via "
+                         "__graft_entry__.entry)")
+    ap.add_argument("--frames", type=int, default=N_FRAMES)
+    cli = ap.parse_args()
     try:
-        main()
-    except Exception as e:  # pragma: no cover - TPU-environment resilience
+        main(cli.config, cli.frames)
+    except Exception:  # pragma: no cover - TPU-environment resilience
         # the axon TPU worker occasionally crashes/restarts mid-session
         # (observed: FAILED_PRECONDITION / UNAVAILABLE); one clean-process
         # retry rides out the restart. Never fabricates a number — a second
