@@ -93,6 +93,107 @@ def convert_frame(
     return out
 
 
+def frames_from_tfrecords(tfrecords_dir: str, prefix: str):
+    """Iterate Waymo tfrecords into plain frame-metadata dicts
+    (reference convert_one :170-186). Import-gated on tensorflow +
+    waymo-open-dataset; everything downstream is dependency-free."""
+    from glob import glob
+    from os.path import join
+
+    try:
+        import tensorflow as tf
+        from waymo_open_dataset import dataset_pb2 as open_dataset
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "tensorflow + waymo-open-dataset are required to read "
+            "tfrecords; use frames_from_metadata for the gated path") from e
+
+    paths = sorted(glob(join(tfrecords_dir, "*.tfrecord")))
+    for file_idx, path in enumerate(paths):
+        for frame_num, frame_data in enumerate(
+                tf.data.TFRecordDataset(path, compression_type="")):
+            frame = open_dataset.Frame()
+            frame.ParseFromString(bytearray(frame_data.numpy()))
+            T = None
+            for camera in frame.context.camera_calibrations:
+                if camera.name == 1:  # FRONT
+                    T = np.array(camera.extrinsic.transform).reshape(4, 4)
+            yield dict(
+                filename=f"{prefix}{file_idx:03d}{frame_num:03d}",
+                context_name=frame.context.name,
+                frame_timestamp_micros=frame.timestamp_micros,
+                T_front_cam_to_vehicle=T,
+            )
+
+
+class KittiToWaymoConverter:
+    """End-to-end driver (reference KITTI2Waymo :40-250): pairs KITTI
+    result dicts with Waymo frames by the ``prefix+file+frame`` filename
+    key, converts every paired frame's instances, and combines them into
+    one objects list — with the reference's behaviors: frames with no
+    matching prediction produce an EMPTY entry (a miss is not an error,
+    :188-190), and per-frame outputs are written then combined (:203-215).
+
+    ``frames`` is any iterable of frame-metadata dicts (filename,
+    context_name, frame_timestamp_micros, T_front_cam_to_vehicle) — from
+    ``frames_from_tfrecords`` on a real Waymo tree, or plain dicts/npz in
+    tests. Parallel conversion uses a thread pool (numpy releases the
+    GIL; the reference used 64 mmcv worker processes)."""
+
+    def __init__(self, kitti_result_files: Sequence[Dict], workers: int = 8):
+        self.kitti_result_files = list(kitti_result_files)
+        self.workers = int(workers)
+        # reference :55-57 — first sample_idx of each result file keys it
+        self.name2idx: Dict[str, int] = {}
+        for idx, result in enumerate(self.kitti_result_files):
+            if len(result.get("sample_idx", [])) > 0:
+                self.name2idx[str(result["sample_idx"][0])] = idx
+
+    def convert_frame_meta(self, meta: Dict) -> List[Dict]:
+        key = str(meta["filename"])
+        idx = self.name2idx.get(key)
+        if idx is None:
+            return []  # reference prints '<name> not found' and emits empty
+        return convert_frame(
+            self.kitti_result_files[idx],
+            np.asarray(meta["T_front_cam_to_vehicle"]),
+            context_name=str(meta.get("context_name", "")),
+            frame_timestamp_micros=int(
+                meta.get("frame_timestamp_micros", 0)),
+        )
+
+    def convert(self, frames: Sequence[Dict],
+                save_dir: str | None = None) -> List[Dict]:
+        """Convert all frames (parallel) -> combined objects list, in
+        frame order. With ``save_dir``, also writes one json per frame
+        plus the combined file (the reference's per-file .bin layout,
+        minus the proto dependency)."""
+        import json
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        frames = list(frames)
+        with ThreadPoolExecutor(max_workers=max(self.workers, 1)) as ex:
+            per_frame = list(ex.map(self.convert_frame_meta, frames))
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+            for meta, objs in zip(frames, per_frame):
+                with open(os.path.join(
+                        save_dir, f"{meta['filename']}.json"), "w") as f:
+                    json.dump(objs, f)
+        combined = [o for objs in per_frame for o in objs]
+        if save_dir is not None:
+            with open(os.path.join(save_dir, "combined.json"), "w") as f:
+                json.dump(combined, f)
+        return combined
+
+    def convert_to_bin(self, frames: Sequence[Dict], final_path: str,
+                       save_dir: str | None = None) -> None:
+        """Full reference pipeline ending in a metrics_pb2 ``.bin``
+        (import-gated on the waymo wheel)."""
+        write_waymo_bin(self.convert(frames, save_dir=save_dir), final_path)
+
+
 def write_waymo_bin(objects: Sequence[Dict], path: str) -> None:
     """Serialize converted objects to a Waymo metrics_pb2 .bin file.
 

@@ -21,14 +21,26 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: object = jnp.float32
+    # `x` arrives in 2x2 space-to-depth form (stride must be 2): conv1 runs
+    # as an s2d stride-2 conv (ops/s2d.py) with the SAME parameter
+    # name/shape, producing the plain stride-2 output directly — avoids the
+    # full-resolution layout XLA thrashes on at the stem/level2 seam.
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None):
         if residual is None:
             residual = x
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=[(1, 1), (1, 1)], use_bias=False,
-                      dtype=self.dtype, name="conv1")(x)
+        if self.s2d_in:
+            assert self.stride == 2, self.stride
+            from apollo_vision_net_tpu.ops.s2d import S2DConv
+
+            out = S2DConv(self.planes, 3, x.shape[-1] // 4, stride=2,
+                          pad=1, dtype=self.dtype, name="conv1")(x)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                          padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
@@ -60,15 +72,29 @@ class Tree(nn.Module):
     level_root: bool = False
     root_residual: bool = False
     dtype: object = jnp.float32
+    # input arrives in 2x2 s2d form (requires levels == 1, stride == 2):
+    # the 2x2/s2 maxpool becomes an exact parity-group max (the pool window
+    # IS the s2d block) and tree1.conv1 runs as an s2d conv — same params,
+    # same math, no full-resolution tensors for XLA to lay out.
+    s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None, children=()):
         children = list(children)
-        bottom = (
-            nn.max_pool(x, (self.stride,) * 2, strides=(self.stride,) * 2)
-            if self.stride > 1 else x
-        )
-        if x.shape[-1] != self.out_channels:
+        if self.s2d_in:
+            assert self.levels == 1 and self.stride == 2, (
+                self.levels, self.stride)
+            B, H2, W2, C4 = x.shape
+            bottom = x.reshape(B, H2, W2, 4, C4 // 4).max(axis=-2)
+            in_ch = C4 // 4
+        else:
+            bottom = (
+                nn.max_pool(x, (self.stride,) * 2,
+                            strides=(self.stride,) * 2)
+                if self.stride > 1 else x
+            )
+            in_ch = x.shape[-1]
+        if in_ch != self.out_channels:
             proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                            dtype=self.dtype, name="project_conv")(bottom)
             proj = FrozenBatchNorm(name="project_bn")(proj)
@@ -78,7 +104,8 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.out_channels, self.stride, dtype=self.dtype, name="tree1")(
+            x1 = BasicBlock(self.out_channels, self.stride, dtype=self.dtype,
+                            s2d_in=self.s2d_in, name="tree1")(
                 x, residual=proj)
             x2 = BasicBlock(self.out_channels, 1, dtype=self.dtype, name="tree2")(x1)
             return Root(self.out_channels, self.root_residual, dtype=self.dtype, name="root")(
@@ -137,6 +164,11 @@ class DLA(nn.Module):
             y = nn.relu(FrozenBatchNorm(name="level1_bn")(y))
             if 1 in self.out_indices:
                 outs.append(y)
+            # hand level2 its input in s2d form: its 2x2/s2 maxpool becomes
+            # a parity-group max and tree1.conv1 an s2d conv — kills the
+            # layout copies XLA inserts around the full-res (H/2, W/2)
+            # tensor at this seam (measured ~1 ms/frame at the flagship)
+            y = space_to_depth(y)
         else:
             x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)],
                         use_bias=False, dtype=self.dtype, name="base_conv")(x)
@@ -158,12 +190,15 @@ class DLA(nn.Module):
             if 1 in self.out_indices:
                 outs.append(y)
 
+        s2d_level2 = (self.stem_s2d and y.ndim == 4
+                      and y.shape[-1] == 4 * ch[1] and self.levels[2] == 1)
         for i in range(2, 6):
             y = Tree(
                 self.levels[i], ch[i], stride=2,
                 level_root=(i > 2),
                 root_residual=self.root_residual,
                 dtype=self.dtype,
+                s2d_in=(i == 2 and s2d_level2),
                 name=f"level{i}",
             )(y)
             if i in self.out_indices:

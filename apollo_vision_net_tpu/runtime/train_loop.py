@@ -52,11 +52,14 @@ def train(
     resume: bool = False,
     seed: int = 0,
 ):
+    from apollo_vision_net_tpu.runtime.metrics_log import MetricsLogger
+
     mesh = make_mesh()
     data_iter = iter(data_iter)
     first = next(data_iter)
     state = train_lib.init_state(cfg, jax.random.PRNGKey(seed), first)
     ckpt = CheckpointManager(work_dir, best_metric="NDS" if eval_fn else None)
+    mlog = MetricsLogger(work_dir)
     start_step = 0
     if resume and ckpt.latest_step() is not None:
         state, meta = ckpt.restore(state)
@@ -80,13 +83,18 @@ def train(
             dt = (time.time() - t0) / max(step - start_step + 1, 1)
             log.info("step %d/%d (%.2fs/it)\n  %s", step + 1, num_steps, dt,
                      format_losses(losses))
+            mlog.log("train", step + 1, losses, sec_per_it=round(dt, 4))
         metrics = None
         if eval_fn and eval_interval and (step + 1) % eval_interval == 0:
             metrics = eval_fn(state)
             log.info("eval @%d: %s", step + 1, metrics)
+            mlog.log("eval", step + 1,
+                     {k: v for k, v in metrics.items()
+                      if isinstance(v, (int, float))})
         if (step + 1) % checkpoint_interval == 0 or step + 1 == num_steps:
             ckpt.save(step + 1, state, cfg, metrics)
         if data_iter is None:
             break
     ckpt.close()
+    mlog.close()
     return state
