@@ -16,15 +16,12 @@ from apollo_vision_net_tpu.parallel.mesh import make_mesh, shard_batch_pytree
 
 
 def _run_one_step(cfg, mesh, batch):
-    jax.sharding.set_mesh(mesh)
-    try:
+    with jax.sharding.set_mesh(mesh):
         state = train_lib.init_state(cfg, jax.random.PRNGKey(0), batch)
         step = train_lib.make_jitted_train_step(mesh, cfg)
         sbatch = shard_batch_pytree(mesh, batch)
         state, losses = step(state, sbatch, jax.random.PRNGKey(1))
         return {k: float(v) for k, v in losses.items()}
-    finally:
-        jax.sharding.set_mesh(None)
 
 
 def test_sp_sharded_losses_match_unsharded():

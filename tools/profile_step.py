@@ -22,47 +22,41 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", nargs="?", default="bev_tiny_det_map_apollo")
+    ap.add_argument("config", nargs="?", default=None,
+                    help="config name; default = the flagship entry, built "
+                         "EXACTLY like bench.py so its compile cache hits")
     ap.add_argument("--top", type=int, default=40)
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=32,
+                    help="must match bench.py N_FRAMES for a cache hit")
     args = ap.parse_args()
 
-    from apollo_vision_net_tpu import configs as cfglib
-    from apollo_vision_net_tpu.data.synthetic import make_batch
-    from apollo_vision_net_tpu.models.detector import BEVFormer
-    from apollo_vision_net_tpu.parallel.train import build_model, init_state
+    import bench as bench_mod
 
-    cfg = getattr(cfglib, args.config)()
-    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=1, seed=0))
-    state = init_state(cfg, jax.random.PRNGKey(0), batch)
-    model = build_model(cfg)
-    params = {"params": state.params}
-    Q = cfg.model.bev_h * cfg.model.bev_w
+    if args.config is None:
+        from __graft_entry__ import entry
 
-    img = batch["img"][:, -1]
-    can_bus = batch["can_bus"][:, -1]
-    lidar2img = batch["lidar2img"][:, -1]
-    prev0 = jnp.zeros((1, Q, cfg.model.embed_dims), jnp.float32)
-    has_prev = jnp.ones((1,), jnp.float32)
+        fn, fargs = entry()
+    else:
+        fn, fargs = bench_mod.config_entry(args.config)
+    params, img, can_bus, lidar2img, prev0, has_prev = fargs
 
     @jax.jit
-    def run(params, prev):
+    def run_stream(params, img, can_bus, lidar2img, prev, has_prev):
         def body(prev, i):
-            im = img + i.astype(img.dtype) * 1e-6
-            outs, new_prev = model.apply(
-                params, im, can_bus, lidar2img, prev, has_prev,
-                method=BEVFormer.forward_test_frame)
-            return new_prev, outs["all_cls_scores"][-1].sum()
+            im = img + (i.astype(img.dtype) * 1e-6)
+            outs = fn(params, im, can_bus, lidar2img, prev, has_prev)
+            return outs[-1], outs[0].sum()
         prev, sums = jax.lax.scan(body, prev, jnp.arange(args.frames))
         return prev, sums.sum()
 
-    prev, s = run(params, prev0)
+    prev, s = run_stream(params, img, can_bus, lidar2img, prev0, has_prev)
     float(s)
 
     tdir = "/tmp/jax_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
-        prev, s = run(params, prev0)
+        prev, s = run_stream(params, img, can_bus, lidar2img, prev,
+                             has_prev)
         float(s)
 
     # parse the xplane proto
