@@ -138,19 +138,20 @@ class DLA(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         ch = self.channels
-        x = x.astype(self.dtype)
         outs = []
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             from apollo_vision_net_tpu.ops.s2d import (
                 S2DConv,
+                S2DEntryConv,
                 apply_channelwise_s2d,
                 depth_to_space,
                 space_to_depth,
             )
 
-            x2 = space_to_depth(x)
-            y2 = S2DConv(ch[0], 7, x.shape[-1], pad=3, dtype=self.dtype,
-                         name="base_conv")(x2)
+            # entry: raw image straight into one stride-2 phase-stacked
+            # conv (s2d_entry_conv) — no explicit image transpose
+            y2 = S2DEntryConv(ch[0], 7, x.shape[-1], pad=3, dtype=self.dtype,
+                              name="base_conv")(x)
             y2 = apply_channelwise_s2d(FrozenBatchNorm(name="base_bn"), y2)
             y2 = nn.relu(y2)
             y2 = S2DConv(ch[0], 3, ch[0], pad=1, dtype=self.dtype,
@@ -170,6 +171,7 @@ class DLA(nn.Module):
             # tensor at this seam (measured ~1 ms/frame at the flagship)
             y = space_to_depth(y)
         else:
+            x = x.astype(self.dtype)
             x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)],
                         use_bias=False, dtype=self.dtype, name="base_conv")(x)
             x = FrozenBatchNorm(name="base_bn")(x)

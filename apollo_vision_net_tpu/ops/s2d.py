@@ -112,6 +112,58 @@ def s2d_conv(x2: jnp.ndarray, w: jnp.ndarray, *, stride: int, pad: int,
     return y  # s2d-form (4·Cout) for s1; (Cout) for s2
 
 
+def s2d_entry_conv(x: jnp.ndarray, w: jnp.ndarray, *, pad: int,
+                   dtype=None) -> jnp.ndarray:
+    """Stride-1 k×k conv + 2×2 space-to-depth packing of the OUTPUT,
+    fused into ONE stride-2 (k+1)×(k+1) conv on the raw image.
+
+    The four output phases (a, b) of the s2d packing are four
+    phase-shifted applications of the same kernel, so stacking
+    ``pad(w, [(a, 1-a), (b, 1-b)])`` over phases along the output-channel
+    axis turns the whole stem entry into a single native stride-2 conv —
+    no explicit image transpose. (The naive cast→reshape→transpose chain
+    cost a measured ~1.9 ms/frame of layout copies on the 6×480×800
+    flagship input; XLA lowers resnet-stem-shaped strided convs without
+    any.) Output: (B, H/2, W/2, 4·Cout) in s2d channel order (a, b, f).
+    """
+    k, k2, Cin, Cout = w.shape
+    assert k == k2 and pad == (k - 1) // 2, (k, k2, pad)
+    phases = [
+        jnp.pad(w, [(a, 1 - a), (b, 1 - b), (0, 0), (0, 0)])
+        for a in (0, 1) for b in (0, 1)
+    ]
+    K = jnp.stack(phases, axis=-2)                  # (k+1, k+1, Cin, 4, Cout)
+    K = K.reshape(k + 1, k + 1, Cin, 4 * Cout)
+    if dtype is not None:
+        x = x.astype(dtype)
+        K = K.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, K, window_strides=(2, 2),
+        padding=((pad, pad + 1), (pad, pad + 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class S2DEntryConv(nn.Module):
+    """Stem-entry module: raw image in, s2d-form activations out — same
+    parameter name/shape ('kernel', HWIO) as the direct-path nn.Conv."""
+
+    features: int
+    kernel_size: int
+    in_channels: int
+    pad: int = 0
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, self.in_channels,
+             self.features),
+        )
+        return s2d_entry_conv(x, w, pad=self.pad, dtype=self.dtype)
+
+
 class S2DConv(nn.Module):
     """Drop-in replacement for a stem ``nn.Conv`` (use_bias=False): same
     parameter name/shape ('kernel', HWIO), same math, s2d in/out."""

@@ -87,7 +87,13 @@ def draw_frame(imgs, lidar2img, det=None, map_res=None, gt_boxes=None,
         if gt_boxes is not None:
             draw_boxes(np.asarray(gt_boxes), "white", 0.8)
         if det is not None:
-            boxes = np.asarray(det["boxes"])
+            if "boxes" in det:
+                boxes = np.asarray(det["boxes"])
+            else:  # evaluator record format: rebuild 9-dim boxes
+                boxes = np.concatenate(
+                    [np.asarray(det["translation"]),
+                     np.asarray(det["size"]),
+                     np.asarray(det["yaw"])[:, None]], axis=1)
             keep = np.asarray(det["scores"]) > score_thr
             if "valid" in det:
                 keep &= np.asarray(det["valid"], bool)

@@ -28,6 +28,10 @@ def main():
     p.add_argument("--dump-results", default=None,
                    help="write raw det/map results (nuscmap_results-style "
                         "JSON) for offline re-evaluation")
+    p.add_argument("--dump-pickle", default=None,
+                   help="pickle the raw det/map/occ result records + GT "
+                        "(consumed by tools/vis_bev.py / "
+                        "tools/project_det_map_to_pv.py)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -124,6 +128,11 @@ def main():
                 dump_results_json)
             dump_results_json(results, args.dump_results)
 
+    if args.dump_pickle:
+        import pickle
+
+        with open(args.dump_pickle, "wb") as f:
+            pickle.dump({**results, "gt": gt}, f)
     print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()},
                      indent=1))
     if args.out:

@@ -41,7 +41,15 @@ def render_bev(det=None, map_res=None, gt_boxes=None, pc_range=(-50, -50, -5,
             ax.add_patch(Polygon(box_corners(b), fill=False,
                                  edgecolor="gray", lw=1.0, ls="--"))
     if det is not None:
-        boxes = np.asarray(det["boxes"])
+        if "boxes" in det:
+            boxes = np.asarray(det["boxes"])
+        else:
+            # evaluator record format (formatting.detections_to_sample_
+            # record): translation/size/yaw columns -> 9-dim boxes
+            t = np.asarray(det["translation"])
+            sz = np.asarray(det["size"])
+            yaw = np.asarray(det["yaw"])[:, None]
+            boxes = np.concatenate([t, sz, yaw], axis=1)
         scores = np.asarray(det["scores"])
         keep = scores > score_thr
         if "valid" in det:
