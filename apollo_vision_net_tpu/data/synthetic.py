@@ -40,8 +40,33 @@ def camera_ring_lidar2img(num_cams: int, img_h: int, img_w: int,
     return np.stack(mats).astype(np.float32)
 
 
+def _paint_points(img, lidar2img, pts3d, labels, value=4.0, radius=2):
+    """Paint class-coded square cues at the camera projections of 3D
+    points — makes a synthetic set LEARNABLE (perception, not
+    memorization) for the overfit-to-metric proof in
+    tools/overfit_check.py. img: (N, H, W, 3), modified in place."""
+    N, H, W, _ = img.shape
+    ones = np.ones((len(pts3d), 1), np.float32)
+    hom = np.concatenate([pts3d, ones], axis=1)
+    for n in range(N):
+        cam = hom @ lidar2img[n].T
+        d = cam[:, 2]
+        front = d > 0.5
+        u = cam[:, 0] / np.maximum(d, 0.5)
+        v = cam[:, 1] / np.maximum(d, 0.5)
+        for i in np.where(front)[0]:
+            x, y = int(round(u[i])), int(round(v[i]))
+            if 0 <= x < W and 0 <= y < H:
+                c = int(labels[i]) % 3
+                ys = slice(max(y - radius, 0), min(y + radius + 1, H))
+                xs = slice(max(x - radius, 0), min(x + radius + 1, W))
+                img[n, ys, xs, c] = value
+    return img
+
+
 def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
-               dtype=np.float32) -> Dict[str, np.ndarray]:
+               dtype=np.float32, paint_gt: bool = False
+               ) -> Dict[str, np.ndarray]:
     m, d = cfg.model, cfg.data
     rng = np.random.default_rng(seed)
     B, T, N = batch_size, m.queue_length, m.num_cams
@@ -78,6 +103,13 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         gt_boxes[b, :k, 7:9] = rng.normal(0, 2, (k, 2))
         gt_labels[b, :k] = rng.integers(0, m.num_classes, k)
         gt_mask[b, :k] = True
+
+    if paint_gt:
+        for b in range(B):
+            k = int(n_real[b])
+            for t in range(T):
+                _paint_points(img[b, t], lidar2img[b, t],
+                              gt_boxes[b, :k, :3], gt_labels[b, :k])
 
     batch = dict(
         img=img,
@@ -126,6 +158,15 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
                 vecs.append(pts)
                 labels.append(int(rng.integers(0, m.map_num_classes)))
             all_vecs.append(vecs)
+            if paint_gt:
+                pts2 = np.concatenate(vecs, axis=0)
+                pts3 = np.concatenate(
+                    [pts2, np.zeros((len(pts2), 1), np.float32)], axis=1)
+                labs = np.repeat(labels, [len(v) for v in vecs])
+                for t in range(T):
+                    # negative value: distinguishes map cues from box cues
+                    _paint_points(img[b, t], lidar2img[b, t], pts3, labs,
+                                  value=-4.0, radius=1)
             packed.append(pack_map_gt(
                 vecs, labels, max_vec=max_vec, fixed_num=m.map_num_pts,
                 pattern=m.map_shift_pattern,

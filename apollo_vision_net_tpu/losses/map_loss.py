@@ -198,6 +198,7 @@ def map_loss_v2(
     gt_pv_seg: Optional[jnp.ndarray] = None,
     bev_seg_weight: float = 1.0,
     pv_seg_weight: float = 2.0,
+    seg_pos_weight: float = 2.0,
 ) -> Dict[str, jnp.ndarray]:
     """MapTRv2 loss: one2one branch + λ-weighted one2many branch with GT
     repeated k times, plus auxiliary rasterized-segmentation BCE terms
@@ -225,11 +226,15 @@ def map_loss_v2(
     total = total + lambda_one2many * many_total
 
     def bce(logits, target):
+        # BCEWithLogitsLoss(pos_weight=seg_pos_weight) — reference v2 head
+        # :88-98: positives weighted up (rasterized masks are sparse)
         t = target.astype(jnp.float32)
+        softplus_neg = jnp.log1p(jnp.exp(-jnp.abs(logits))) + jnp.maximum(
+            -logits, 0)   # softplus(-x), stable
+        softplus_pos = jnp.log1p(jnp.exp(-jnp.abs(logits))) + jnp.maximum(
+            logits, 0)    # softplus(x)
         return jnp.mean(
-            jnp.maximum(logits, 0) - logits * t
-            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        )
+            seg_pos_weight * t * softplus_neg + (1.0 - t) * softplus_pos)
 
     if bev_seg_logits is not None and gt_bev_seg is not None:
         losses["loss_map_bev_seg"] = bev_seg_weight * bce(

@@ -96,15 +96,23 @@ class DecoupledMapDecoderLayer(nn.Module):
 
 
 class BEVSegHead(nn.Module):
-    """Aux BEV segmentation: small conv stack → 1-channel logits."""
+    """Aux segmentation decode head (BEV or PV): Conv3×3 (embed→embed,
+    no bias) → ReLU → Conv1×1 (embed→seg_classes) — exactly the
+    reference's map_seg_head / map_pv_seg_head stacks
+    (bevformer_det_map_head_apollo_v2.py:81-97). classes=1 squeezes the
+    channel axis (the reference's default seg_classes)."""
 
-    hidden: int = 64
+    classes: int = 1
+    hidden: int = 0  # 0 -> input embed dims (reference behavior)
 
     @nn.compact
-    def __call__(self, bev_grid: jnp.ndarray) -> jnp.ndarray:  # (B,H,W,C)
-        x = nn.Conv(self.hidden, (3, 3), padding=[(1, 1), (1, 1)])(bev_grid)
+    def __call__(self, grid: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
+        hidden = self.hidden or grid.shape[-1]
+        x = nn.Conv(hidden, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False)(grid)
         x = nn.relu(x)
-        return nn.Conv(1, (1, 1))(x)[..., 0]
+        x = nn.Conv(self.classes, (1, 1))(x)
+        return x[..., 0] if self.classes == 1 else x
 
 
 class BEVFormerDetMapHeadV2(BEVFormerHead):

@@ -147,8 +147,11 @@ def main():
             break
     mesh = make_mesh(dp=dp, sp=1, devices=jax.devices()[:dp])
 
+    # paint_gt: GT cues rendered into the images so the set is LEARNABLE
+    # (perception, not noise-memorization) — see data/synthetic.py
     batch = jax.tree.map(
-        jnp.asarray, make_batch(cfg, args.batch_size, seed=args.seed))
+        jnp.asarray,
+        make_batch(cfg, args.batch_size, seed=args.seed, paint_gt=True))
     state = train_lib.init_state(cfg, jax.random.PRNGKey(args.seed), batch)
     model = train_lib.build_model(cfg)
     step = train_lib.make_jitted_train_step(mesh, cfg)
