@@ -236,10 +236,34 @@ def create_semantic_kitti(root_path: str, out_dir: str, sequences=None):
     print(f"wrote {len(infos)} infos to {out}")
 
 
+def kitti_data_prep(root_path: str, info_prefix: str, out_dir: str):
+    """Full KITTI preparation (reference tools/create_data.py:15-47):
+    infos → reduced clouds → 2D annotations → GT database."""
+    from apollo_vision_net_tpu.data.gt_database import (
+        create_groundtruth_database)
+    from apollo_vision_net_tpu.data.kitti import (
+        create_kitti_infos, create_reduced_point_cloud,
+        export_2d_annotation)
+
+    paths = create_kitti_infos(root_path, info_prefix, save_path=out_dir)
+    create_reduced_point_cloud(root_path, info_prefix)
+    for split in ("train", "val", "trainval", "test"):
+        if split in paths and split != "test":
+            export_2d_annotation(root_path, paths[split])
+    create_groundtruth_database(
+        "kitti", root_path, paths["train"], info_prefix,
+        database_save_path=os.path.join(
+            out_dir or root_path, f"{info_prefix}_gt_database"),
+        db_info_save_path=os.path.join(
+            out_dir or root_path, f"{info_prefix}_dbinfos_train.pkl"))
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("dataset",
-                   choices=["nuscenes", "nuscenes-map-gt", "semantic-kitti"])
+                   choices=["nuscenes", "nuscenes-map-gt", "semantic-kitti",
+                            "kitti", "lyft", "waymo", "scannet",
+                            "gt-database"])
     p.add_argument("--root-path", required=True)
     p.add_argument("--version", default="v1.0-trainval")
     p.add_argument("--out-dir", default="")
@@ -247,11 +271,43 @@ if __name__ == "__main__":
     p.add_argument("--out", default="", help="output pkl (default: in place)")
     p.add_argument("--map-version", type=int, default=1, choices=[1, 2])
     p.add_argument("--patch-size", type=float, nargs=2, default=[60.0, 30.0])
+    p.add_argument("--prefix", default="", help="info filename prefix")
+    p.add_argument("--max-sweeps", type=int, default=10)
+    p.add_argument("--workers", type=int, default=8)
     a = p.parse_args()
     if a.dataset == "semantic-kitti":
         if not a.out_dir:
             raise SystemExit("--out-dir required")
         create_semantic_kitti(a.root_path, a.out_dir)
+    elif a.dataset == "kitti":
+        kitti_data_prep(a.root_path, a.prefix or "kitti",
+                        a.out_dir or a.root_path)
+    elif a.dataset == "lyft":
+        from apollo_vision_net_tpu.data.lyft import create_lyft_infos
+        create_lyft_infos(a.root_path, a.prefix or "lyft",
+                          version=a.version or "v1.01-train",
+                          max_sweeps=a.max_sweeps,
+                          out_dir=a.out_dir or None)
+    elif a.dataset == "waymo":
+        from apollo_vision_net_tpu.data.waymo import WaymoToKitti
+        if not a.out_dir:
+            raise SystemExit("--out-dir required")
+        n = WaymoToKitti(a.root_path, a.out_dir, prefix=0,
+                         workers=a.workers).convert()
+        print(f"converted {n} waymo frames")
+    elif a.dataset == "scannet":
+        from apollo_vision_net_tpu.data.indoor import create_indoor_info_file
+        create_indoor_info_file(a.root_path, "scannet",
+                                save_path=a.out_dir or None,
+                                workers=a.workers)
+    elif a.dataset == "gt-database":
+        from apollo_vision_net_tpu.data.gt_database import (
+            create_groundtruth_database)
+        if not a.infos:
+            raise SystemExit("--infos required")
+        create_groundtruth_database(
+            "kitti" if "kitti" in (a.prefix or a.infos) else "nuscenes",
+            a.root_path, a.infos, a.prefix or "kitti")
     elif a.dataset == "nuscenes":
         if not a.out_dir:
             raise SystemExit("--out-dir required for nuscenes conversion")
