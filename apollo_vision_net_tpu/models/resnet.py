@@ -56,14 +56,18 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(name="bn1")(out)
         out = nn.relu(out)
         # pytorch-style: stride on the 3x3
-        if self.with_dcn and self.stride == 1:
+        if self.with_dcn:
             # DCNv2 (R101-DCN config tier): offsets/masks from a 3x3 conv
+            # at the block's stride — mmdet applies DCN to EVERY block of a
+            # DCN stage, including the stride-2 first block
             from apollo_vision_net_tpu.ops.dcnv3 import modulated_deform_conv
 
-            om = nn.Conv(27, (3, 3), padding=[(1, 1), (1, 1)],
+            s = self.stride
+            om = nn.Conv(27, (3, 3), strides=(s, s),
+                         padding=[(1, 1), (1, 1)],
                          kernel_init=nn.initializers.zeros,
                          name="conv2_offset")(out)
-            offset = om[..., :18].reshape(out.shape[:-1] + (9, 2))
+            offset = om[..., :18].reshape(om.shape[:-1] + (9, 2))
             mask = jax.nn.sigmoid(om[..., 18:])
             w = self.param(
                 "conv2_dcn_weight",
@@ -72,8 +76,8 @@ class Bottleneck(nn.Module):
                 (9, out.shape[-1], self.planes),
             )
             out = modulated_deform_conv(
-                out.astype(jnp.float32), offset.astype(jnp.float32),
-                mask.astype(jnp.float32), w.astype(jnp.float32),
+                out, offset.astype(jnp.float32),
+                mask.astype(jnp.float32), w.astype(out.dtype), stride=s,
             ).astype(out.dtype)
         else:
             out = nn.Conv(self.planes, (3, 3),
@@ -102,7 +106,7 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (3,)
     base_width: int = 64
     dtype: object = jnp.float32
-    # mmdet R101-DCN: dcn in stages 2,3 (strides 16/32), first block excluded
+    # mmdet R101-DCN: dcn in stages 2,3 (strides 16/32), every block
     dcn_stages: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
@@ -126,7 +130,7 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
                     dtype=self.dtype,
-                    with_dcn=self.dcn_stages[stage] and b > 0,
+                    with_dcn=self.dcn_stages[stage],
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             if stage in self.out_indices:

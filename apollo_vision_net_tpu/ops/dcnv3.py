@@ -73,50 +73,59 @@ def modulated_deform_conv(
     weight: jnp.ndarray,   # (K, C, O) conv weights (kernel-major)
     kernel: Tuple[int, int] = (3, 3),
     dilation: Tuple[int, int] = (1, 1),
+    stride: int = 1,
+    impl: str = "auto",
+    slab_rows: int | None = None,
 ) -> jnp.ndarray:
-    """DCNv2 (modulated deformable convolution), stride 1, same padding —
-    the op mmdet's ResNet-DCN uses for the R101 'base' configs. Exact
-    bilinear/zeros sampling via the framework's patch-gather trick.
-    Returns (B, H, W, O)."""
+    """DCNv2 (modulated deformable convolution), 'same' padding — the op
+    mmdet's ResNet-DCN uses for the R101 'base' configs. ``offset``/``mask``
+    are given at OUTPUT resolution (H//stride, W//stride), matching the
+    stride of the offset-predicting conv; sampling centers sit at
+    ``(i·stride, j·stride)`` like torch's stride-s deform_conv2d with
+    padding (k-1)/2.
+
+    TPU-first: bilinear sampling is linear in the pixel values, so it
+    commutes EXACTLY with the per-tap channel projection. Apply the conv
+    weights first — one MXU matmul ``x @ [W_1 .. W_K]`` in the trunk dtype
+    producing K O-channel maps — then sample each projected map at its tap
+    position via the framework's MSDA machinery (taps = heads, one point
+    each, modulation as the attention weight) and sum over taps. Compared
+    to gathering raw C-channel patches and contracting afterwards this cuts
+    the gathered row width C/O-fold (4x at R101 stage 3) and moves the
+    contraction from gathered rows onto the MXU, while keeping
+    bilinear/zeros border semantics bit-consistent with the reference
+    (``ops_dcnv3/functions/dcnv3_func.py`` grid_sample, mmdet DCNv2).
+    Returns (B, H//stride, W//stride, O)."""
     B, H, W, C = x.shape
     K = kernel[0] * kernel[1]
+    O = weight.shape[-1]
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    Q = Ho * Wo
     grid = _kernel_grid(kernel[0], kernel[1], dilation[0], dilation[1])
-    # zero-pad by 1 and build 2x2 corner stacks: (B, Hp*Wp, 4C)
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    p01 = jnp.roll(xp, -1, axis=2)
-    p10 = jnp.roll(xp, -1, axis=1)
-    p11 = jnp.roll(p10, -1, axis=2)
-    patch = jnp.concatenate([xp, p01, p10, p11], axis=-1).reshape(
-        B, (H + 2) * (W + 2), 4 * C)
 
-    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
-                         np.arange(W, dtype=np.float32), indexing="ij")
+    # z[b,v,k,:] = x[b,v,:] @ W_k  — (C, K*O) matmul, MXU-friendly
+    z = (x.reshape(B, H * W, C) @ weight.transpose(1, 0, 2).reshape(C, K * O)
+         ).reshape(B, H * W, K, O)
+
+    if slab_rows is None:
+        # queries are row-major over the output grid: a 128-query tile
+        # spans ceil(128/Wo) output rows = stride x that in input rows;
+        # learned offsets reach a few more (outliers take the kernel's
+        # exact full-width fallback)
+        slab_rows = stride * ((128 + Wo - 1) // Wo + 1) + 6
+
+    ys, xs = np.meshgrid(np.arange(Ho, dtype=np.float32) * stride,
+                         np.arange(Wo, dtype=np.float32) * stride,
+                         indexing="ij")
     base = np.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # (Q, 2) pixels
-    Q = H * W
     pos = (
         jnp.asarray(base)[None, :, None, :]
         + jnp.asarray(grid)[None, None, :, :]
         + offset.reshape(B, Q, K, 2)
     )  # (B, Q, K, 2) absolute pixels
-    px, py = pos[..., 0], pos[..., 1]
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = (px - x0)[..., None]
-    fy = (py - y0)[..., None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    inside = (
-        (x0 >= -1) & (x0 <= W - 1) & (y0 >= -1) & (y0 <= H - 1)
-    ).astype(x.dtype)[..., None]
-    idx = (jnp.clip(y0, -1, H - 1) + 1) * (W + 2) + jnp.clip(x0, -1, W - 1) + 1
-    rows = jnp.take_along_axis(
-        patch, idx.reshape(B, Q * K)[..., None], axis=1
-    ).reshape(B, Q, K, 4, C)
-    sampled = (
-        rows[:, :, :, 0] * (1 - fx) * (1 - fy)
-        + rows[:, :, :, 1] * fx * (1 - fy)
-        + rows[:, :, :, 2] * (1 - fx) * fy
-        + rows[:, :, :, 3] * fx * fy
-    ) * inside * mask.reshape(B, Q, K, 1)
-    out = jnp.einsum("bqkc,kco->bqo", sampled, weight)
-    return out.reshape(B, H, W, -1)
+    norm = jnp.asarray([W, H], jnp.float32)
+    locs = ((pos.astype(jnp.float32) + 0.5) / norm)[:, :, :, None, None, :]
+    attn = mask.reshape(B, Q, K, 1, 1).astype(jnp.float32)
+    out = ms_deform_attn(z, ((H, W),), locs, attn, impl=impl,
+                         slab_rows=slab_rows)  # (B, Q, K*O)
+    return out.reshape(B, Q, K, O).sum(2).reshape(B, Ho, Wo, O)

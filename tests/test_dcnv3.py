@@ -85,3 +85,43 @@ def test_modulated_deform_conv_matches_torch():
         B, H * W, K, 1)
     want = np.einsum("bqkc,kco->bqo", sampled, weight).reshape(B, H, W, O)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_modulated_deform_conv_stride2_matches_torch():
+    """Stride-2 DCN (mmdet applies DCN to the stride-2 first block of a DCN
+    stage too): offsets at output resolution, centers at (2i, 2j)."""
+    import torch
+    import torch.nn.functional as F
+
+    from apollo_vision_net_tpu.ops.dcnv3 import modulated_deform_conv
+
+    rng = np.random.default_rng(2)
+    B, H, W, C, O = 1, 8, 6, 3, 5
+    Ho, Wo = H // 2, W // 2
+    K = 9
+    x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    offset = rng.normal(0, 1.0, (B, Ho, Wo, K, 2)).astype(np.float32)
+    mask = rng.random((B, Ho, Wo, K)).astype(np.float32)
+    weight = rng.standard_normal((K, C, O)).astype(np.float32)
+
+    got = np.asarray(
+        modulated_deform_conv(x, offset, mask, weight, stride=2))
+    assert got.shape == (B, Ho, Wo, O)
+
+    v = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ys, xs = np.meshgrid(np.arange(3) - 1, np.arange(3) - 1, indexing="ij")
+    kgrid = np.stack([xs.reshape(-1), ys.reshape(-1)], -1)
+    py, px = np.meshgrid(np.arange(Ho) * 2, np.arange(Wo) * 2,
+                         indexing="ij")
+    base = np.stack([px.reshape(-1), py.reshape(-1)], -1)
+    pos = base[None, :, None, :] + kgrid[None, None] + \
+        offset.reshape(B, Ho * Wo, K, 2)
+    gx = 2 * (pos[..., 0] + 0.5) / W - 1
+    gy = 2 * (pos[..., 1] + 0.5) / H - 1
+    grid = torch.from_numpy(np.stack([gx, gy], -1).astype(np.float32))
+    sampled = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros",
+                            align_corners=False)
+    sampled = sampled.permute(0, 2, 3, 1).numpy() * mask.reshape(
+        B, Ho * Wo, K, 1)
+    want = np.einsum("bqkc,kco->bqo", sampled, weight).reshape(B, Ho, Wo, O)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
