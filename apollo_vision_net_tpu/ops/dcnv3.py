@@ -103,6 +103,12 @@ def modulated_deform_conv(
     Q = Ho * Wo
     grid = _kernel_grid(kernel[0], kernel[1], dilation[0], dilation[1])
 
+    if impl == "auto" and x.dtype == jnp.bfloat16:
+        # bf16 trunk: ride the kernel's fast mode — halves the operand so
+        # R101 stage-3 grids (30x50 x 9 taps x 256ch) fit the VMEM gate and
+        # take the Pallas slab kernel instead of the XLA patch fallback
+        impl = "auto_fast"
+
     # z[b,v,k,:] = x[b,v,:] @ W_k  — (C, K*O) matmul, MXU-friendly
     z = (x.reshape(B, H * W, C) @ weight.transpose(1, 0, 2).reshape(C, K * O)
          ).reshape(B, H * W, K, O)

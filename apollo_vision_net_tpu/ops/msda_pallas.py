@@ -45,6 +45,7 @@ of the (numerically identical) XLA implementation.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -340,9 +341,15 @@ def _msda_pallas_fwd_impl(
     # multi-level / large-grid configs need more than the default 16 MB
     # Mosaic scoped-vmem stack for the per-level mask temporaries; leave
     # the default for small single-level grids (the flagship) — a blanket
-    # raise measurably hurt the slab kernel's pipelining
+    # raise measurably hurt the slab kernel's pipelining.
+    # The raise is bounded at 64 MB (was 100 MB): physical VMEM is shared
+    # with XLA's own pipelined buffers for neighbouring ops, and in large
+    # combined graphs (base-config full step) a 100 MB scoped claim
+    # next to XLA prefetch crashed the TPU worker at runtime even though
+    # every subgraph ran clean in isolation.
+    _raise_mb = int(os.environ.get("MSDA_VMEM_LIMIT_MB", "64"))
     compiler_params = (
-        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        pltpu.CompilerParams(vmem_limit_bytes=_raise_mb * 1024 * 1024)
         if (L > 1 or Vp * H * D * operand.dtype.itemsize > 4 * 1024 * 1024)
         else None)
     if slab_rows is not None and L == 1:
@@ -664,8 +671,10 @@ def _msda_pallas_window_impl(
             bytes_accessed=B * Qp * H * (6 * BC * D * 2 + L * P * 24),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        # no scoped-vmem raise: the six (128, D) window blocks, masks and
+        # out tile fit comfortably in the default 16 MB budget — and an
+        # oversized claim risks colliding with XLA's own VMEM prefetch in
+        # large graphs (see the bounded raise in _msda_pallas_fwd_impl)
     )(yb, xb, tm, *( [operand] * 6 ), loc, attn)
     return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
 
