@@ -312,11 +312,18 @@ class SpatialCrossAttention(nn.Module):
             B * N, Q, ref_cam.shape[3], 2
         )
         slab = None
-        if self.use_slab and len(spatial_shapes) == 1:
+        if self.use_slab:
             # ~1/3 of the image height: an 8x4-cell BEV tile's pillar
             # projects a p50 ~10-row band (measured on real projection
-            # geometry at q_tile=64); wide tiles fall back exactly
-            slab = max(8, (spatial_shapes[0][0] + 2 + 2) // 3)
+            # geometry at q_tile=64); wide tiles fall back exactly.
+            # Multi-level pyramids (base configs) get one slab per level —
+            # the per-level row-slab kernel bounds the mask build to the
+            # projected band of each level instead of its full grid
+            if len(spatial_shapes) == 1:
+                slab = max(8, (spatial_shapes[0][0] + 2 + 2) // 3)
+            else:
+                slab = tuple(max(8, (h + 4) // 3)
+                             for (h, w) in spatial_shapes)
         out = inner(q_cam, v_cam, reference_points=ref,
                     spatial_shapes=spatial_shapes, tile_mask=tile_mask,
                     slab_rows=slab, q_tile=self.q_tile)

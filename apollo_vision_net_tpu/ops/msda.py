@@ -231,7 +231,9 @@ def ms_deform_attn(
                 itemsize=2 if fast else 4,
             )
         ):
-            if len(spatial_shapes) != 1:
+            if len(spatial_shapes) != 1 and isinstance(slab_rows, int):
+                # int slab_rows is single-level-only; multi-level slabs
+                # take a per-level tuple (base-scale SCA)
                 slab_rows = None
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights,

@@ -301,6 +301,132 @@ def _slab_bounds(loc, spatial_shapes, q_tile, slab_elems, B, H, align=8):
     return (base // align).astype(jnp.int32), wide
 
 
+def _build_level_value(value, spatial_shapes, lvl, dtype, align):
+    """One level's (B, H, Vp_l_pad, D) padded value block, flat size padded
+    up to a multiple of ``align`` with zero rows. Separate per-level buffers
+    (instead of one concatenated operand) keep every dynamic slab start
+    provably ``align``-aligned — the concatenated layout's level offsets
+    (pstarts) are not multiples of the bf16 sublane tile. Zero pad rows are
+    harmless: stray mask weights on phantom cells multiply zero values."""
+    if dtype is not None and value.dtype != dtype:
+        value = value.astype(dtype)
+    B, V, H, D = value.shape
+    sizes = [h * w for h, w in spatial_shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    (h, w) = spatial_shapes[lvl]
+    v = jax.lax.slice_in_dim(
+        value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
+    ).reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
+    vp = jnp.pad(v, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    flat = vp.reshape(B, H, (h + 2) * (w + 2), D)
+    vp_pad = ((h + 2) * (w + 2) + align - 1) // align * align
+    if vp_pad != flat.shape[2]:
+        flat = jnp.pad(flat, [(0, 0), (0, 0), (0, vp_pad - flat.shape[2]),
+                              (0, 0)])
+    return flat
+
+
+def _ml_chunk_bounds(loc, spatial_shapes, q_tile, chunk_elems, n_chunks,
+                     B, H, q_valid=None):
+    """Per-(level, batch, tile) [lo, hi) CHUNK-index bounds covering the
+    tile's sampling extent. loc: natural (B, Qp, H*L*P*2). Pooling masks
+    out zero-padded tail queries (q >= q_valid) so they don't drag the
+    bounds to row 0; out-of-grid samples are clipped into the padded grid
+    (they only widen the bounds — exactness is unconditional since every
+    touched cell lies inside some covered chunk)."""
+    L = len(spatial_shapes)
+    Qp = loc.shape[1]
+    n_tiles = Qp // q_tile
+    ll = loc.reshape(B, n_tiles, q_tile, H, L, -1, 2)
+    tail = None
+    if q_valid is not None and q_valid != Qp:
+        qidx = jnp.arange(Qp).reshape(n_tiles, q_tile)
+        tail = (qidx < q_valid)[None, :, :, None, None]  # (1,T,QT,1,1)
+    los, his = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        wp = w + 2
+        py = ll[..., lvl, :, 1].astype(jnp.float32) * h - 0.5
+        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), -1, h - 1) + 1
+        if tail is not None:
+            rmin = jnp.where(tail, y0, h + 1).min(axis=(2, 3, 4))
+            rmax = jnp.where(tail, y0, -1).max(axis=(2, 3, 4)) + 1
+        else:
+            rmin = y0.min(axis=(2, 3, 4))
+            rmax = y0.max(axis=(2, 3, 4)) + 1
+        lo = jnp.clip((rmin * wp) // chunk_elems[lvl], 0,
+                      n_chunks[lvl])
+        hi = jnp.clip(-(-((rmax + 1) * wp) // chunk_elems[lvl]), 0,
+                      n_chunks[lvl])
+        los.append(lo.astype(jnp.int32))
+        his.append(hi.astype(jnp.int32))
+    return jnp.stack(los), jnp.stack(his)  # (L, B, n_tiles) each
+
+
+def _msda_kernel_ml_chunk(
+    lo_ref,     # scalar prefetch: (L, B, n_tiles) int32 first chunk
+    hi_ref,     # (L, B, n_tiles) int32 one-past-last chunk
+    tmask_ref,  # (B, n_tiles) int32 tile visibility
+    *refs,      # v_0..v_{L-1}, loc_ref, attn_ref, out_ref
+    spatial_shapes, num_points, head_dim, chunk_elems, precision=None,
+):
+    """Multi-level chunked variant of the masked kernel (base-scale SCA):
+    each level's padded grid is cut into fixed chunk_elems-cell column
+    chunks; a tile contracts only against the [lo, hi) chunks its sampling
+    extent touches (typically one). ALWAYS exact — no clamping, no wide
+    fallback: a chunk either contains a sample's bilinear support cells
+    (covered by the bounds) or contributes zero. The single straight-line
+    body sidesteps the pl.when dual-path structure, which executed both
+    branches' cost at every program (measured 269 ms vs 76+106 ms split at
+    base-SCA shapes), and the bounded (QT, chunk) mask temporaries keep the
+    Mosaic stack small enough for q_tile=128."""
+    L = len(spatial_shapes)
+    value_refs = refs[:L]
+    loc_ref, attn_ref, out_ref = refs[L], refs[L + 1], refs[L + 2]
+    b = pl.program_id(0)
+    q = pl.program_id(1)
+    H = value_refs[0].shape[1]
+    QT = loc_ref.shape[1]
+    D = head_dim
+    P = num_points
+    lp2, lp = L * P * 2, L * P
+    active = tmask_ref[b, q] > 0
+    kdt = value_refs[0].dtype
+    prec = precision or jax.lax.Precision.HIGHEST
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0, :, :, :])
+
+    @pl.when(active)
+    def _():
+        accs = [jnp.zeros((QT, D), jnp.float32) for _ in range(H)]
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            S = chunk_elems[lvl]
+
+            def chunk_body(c, accs, lvl=lvl, h=h, w=w, S=S):
+                base = c * S
+                new = []
+                for hh in range(H):
+                    loc_hd = loc_ref[0, :, hh * lp2:(hh + 1) * lp2]
+                    attn_hd = attn_ref[0, :, hh * lp:(hh + 1) * lp]
+                    vblock = value_refs[lvl][0, hh, pl.ds(base, S), :]
+                    Wm = _weighted_mask(
+                        loc_hd, attn_hd, lvl=lvl, num_points=P,
+                        h=h, w=w, QT=QT, S=S, base=base,
+                    )
+                    new.append(accs[hh] + jnp.dot(
+                        Wm.astype(kdt), vblock,
+                        preferred_element_type=jnp.float32, precision=prec,
+                    ))
+                return tuple(new)
+
+            accs = jax.lax.fori_loop(
+                lo_ref[lvl, b, q], hi_ref[lvl, b, q], chunk_body,
+                tuple(accs))
+        for hh in range(H):
+            out_ref[0, hh, :, :] = accs[hh].astype(out_ref.dtype)
+
+
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
     interpret=False, q_tile=128, tile_mask=None, fast=False, slab_rows=None,
@@ -323,6 +449,82 @@ def _msda_pallas_fwd_impl(
     if Qp != Q:
         loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
         attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
+    kdtype = jnp.bfloat16 if fast else jnp.float32
+    align = 16 if kdtype == jnp.bfloat16 else 8
+    n_tiles_pre = Qp // QT
+    if L > 1 and slab_rows is not None and not isinstance(slab_rows, int):
+        # multi-level chunked path (base-scale SCA): per-level operand
+        # buffers, fixed per-level chunk sizes, dynamic [lo, hi) chunk
+        # bounds per (tile, level) — always exact
+        assert len(slab_rows) == L, (slab_rows, L)
+        chunk_elems = tuple(
+            ((int(slab_rows[lvl]) * (spatial_shapes[lvl][1] + 2)
+              + align - 1) // align) * align
+            for lvl in range(L)
+        )
+        levels, n_chunks = [], []
+        for lvl in range(L):
+            lv = _build_level_value(value, spatial_shapes, lvl, kdtype,
+                                    align)
+            nc = -(-lv.shape[2] // chunk_elems[lvl])
+            pad_to = nc * chunk_elems[lvl]
+            if pad_to != lv.shape[2]:
+                lv = jnp.pad(lv, [(0, 0), (0, 0),
+                                  (0, pad_to - lv.shape[2]), (0, 0)])
+            levels.append(lv)
+            n_chunks.append(nc)
+        vp_pads = tuple(lv.shape[2] for lv in levels)
+        lo, hi = _ml_chunk_bounds(
+            loc, spatial_shapes, QT, chunk_elems, tuple(n_chunks), B, H,
+            q_valid=Q)
+        tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
+              else jnp.ones((B, n_tiles_pre), jnp.int32))
+        assert tm.shape == (B, n_tiles_pre), (tm.shape, (B, n_tiles_pre))
+        shapes_t0 = tuple(tuple(s) for s in spatial_shapes)
+        kernel = functools.partial(
+            _msda_kernel_ml_chunk,
+            spatial_shapes=shapes_t0, num_points=P, head_dim=D,
+            chunk_elems=chunk_elems,
+            precision=jax.lax.Precision.DEFAULT if fast else None,
+        )
+        nvals = len(levels)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, n_tiles_pre),
+            in_specs=[
+                pl.BlockSpec((1, H, vp_pads[lvl], D),
+                             (lambda b, q, s, wf, m: (b, 0, 0, 0)),
+                             memory_space=pltpu.VMEM)
+                for lvl in range(nvals)
+            ] + [
+                pl.BlockSpec((1, QT, H * L * P * 2),
+                             lambda b, q, s, wf, m: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, QT, H * L * P),
+                             lambda b, q, s, wf, m: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, QT, D),
+                                   lambda b, q, s, wf, m: (b, 0, q, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        cost_ml = pl.CostEstimate(
+            flops=2 * B * Qp * H * sum(chunk_elems) * D,
+            bytes_accessed=B * (sum(vp_pads) * H * D * 4
+                                + Qp * H * L * P * 6 * 4),
+            transcendentals=0,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), value.dtype),
+            interpret=interpret, cost_estimate=cost_ml,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(os.environ.get(
+                    "MSDA_VMEM_LIMIT_MB", "32")) * 1024 * 1024),
+        )(lo, hi, tm, *levels, loc, attn)
+        return out[:, :, :Q].transpose(0, 2, 1, 3).reshape(B, Q, H * D)
+    if L > 1:
+        slab_rows = None
     # exact mode pins the operand to f32 even when the caller's trunk runs
     # bf16 activations: Mosaic rejects HIGHEST (fp32-contract) matmuls on
     # bf16 inputs ("Bad lhs type"), and exact mode's contract is f32 math
@@ -347,7 +549,11 @@ def _msda_pallas_fwd_impl(
     # combined graphs (base-config full step) a 100 MB scoped claim
     # next to XLA prefetch crashed the TPU worker at runtime even though
     # every subgraph ran clean in isolation.
-    _raise_mb = int(os.environ.get("MSDA_VMEM_LIMIT_MB", "64"))
+    # 32 MB: the largest claim that coexists with XLA's own VMEM use in
+    # scan-wrapped full-model graphs (64 MB ran single steps but crashed
+    # the worker under lax.scan at base scale; 100 MB crashed everywhere
+    # outside isolated subgraphs)
+    _raise_mb = int(os.environ.get("MSDA_VMEM_LIMIT_MB", "32"))
     compiler_params = (
         pltpu.CompilerParams(vmem_limit_bytes=_raise_mb * 1024 * 1024)
         if (L > 1 or Vp * H * D * operand.dtype.itemsize > 4 * 1024 * 1024)

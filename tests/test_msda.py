@@ -275,3 +275,50 @@ def test_pallas_window_kernel_border_fade():
     got = np.asarray(_msda_pallas_window_impl(
         value, ((h, w),), locs, attn, interpret=True, q_tile=32))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_ml_slab_matches_xla_interpret():
+    """Multi-level row-slab kernel (base-scale SCA path) == XLA, including
+    the tile-granular wide fallback, tile skipping, and tail queries."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_fwd_impl
+
+    rng = np.random.default_rng(11)
+    shapes = ((14, 10), (7, 5), (4, 3))
+    B, H, D, Q, P = 2, 3, 8, 150, 4  # Q=150, QT=64 -> padded tail
+    V = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    locs = np.empty((B, Q, H, L, P, 2), np.float32)
+    locs[..., 0] = rng.uniform(-0.1, 1.1, (B, Q, H, L, P))
+    # tile 0 narrow at every level; tile 1 wide at level 1 only; tile 2
+    # (tail-padded) spread everywhere
+    locs[:, :64, ..., 1] = rng.uniform(0.30, 0.42, (B, 64, H, L, P))
+    locs[:, 64:128, ..., 1] = rng.uniform(0.30, 0.42, (B, 64, H, L, P))
+    locs[:, 64:128, :, 1, :, 1] = rng.uniform(-0.2, 1.2, (B, 64, H, P))
+    locs[:, 128:, ..., 1] = rng.uniform(-0.2, 1.2, (B, Q - 128, H, L, P))
+    attn = rng.random((B, Q, H, L, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=64,
+        slab_rows=(6, 4, 3)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # tile skipping composes with the slab path
+    tile_mask = np.array([[True, False, True], [True, True, False]])
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=64,
+        slab_rows=(6, 4, 3), tile_mask=jnp.asarray(tile_mask)))
+    np.testing.assert_allclose(got[0, :64], want[0, :64], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[0, 64:128] == 0)
+    np.testing.assert_allclose(got[1, :128], want[1, :128], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[1, 128:] == 0)
+
+    # degenerate: slabs covering every grid row == full kernel
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=64,
+        slab_rows=(16, 9, 6)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
