@@ -68,11 +68,16 @@ class TemporalSelfAttention(nn.Module):
     msda_impl: str = "auto"
     # row-slab windowing for the Pallas kernel: BEV queries are row-major,
     # so a q_tile-query tile spans ~ceil(q_tile/bev_w)+1 grid rows; sampling
-    # offsets add a few cells. Wide outliers fall back exactly. q_tile=32
-    # (not 128): the kernel's mask build is VPU-bound at QT·S ops per point,
-    # and finer tiles touch proportionally narrower row bands.
+    # offsets add a few cells. Wide outliers fall back exactly.
+    # q_tile: None = auto. Small grids (flagship, slab kernel) use 32 — the
+    # scatter-mask build is VPU-bound at QT·S ops per point, and finer
+    # tiles touch narrower row bands. Grids beyond VMEM residency (base
+    # 200×200, window kernel) use 128 with 8×16 spatial block tiles: the
+    # window kernel is program-dispatch bound (~4 µs/program; 2×1250
+    # programs at qt=32 ≈ its whole 9.5 ms/call), and a compact 8×16 block
+    # + offsets fits the same 24×32 window a 32-long row strip needed.
     use_slab: bool = True
-    q_tile: int = 32
+    q_tile: Optional[int] = None
     dtype: object = jnp.float32
 
     @nn.compact
@@ -95,9 +100,28 @@ class TemporalSelfAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos.astype(self.dtype)
 
+        qt = self.q_tile or (128 if Q > 8192 else 32)
+        perm = inv_perm = None
+        (bh, bw) = spatial_shapes[0]
+        if (qt >= 64 and Q == bh * bw
+                and self.msda_impl.split("_")[0] in ("auto", "pallas")):
+            # large-grid window-kernel path: reorder queries into 8×(qt/8)
+            # spatial blocks so each 128-query tile stays window-compact
+            from apollo_vision_net_tpu.utils.geometry import (
+                spatial_block_order,
+            )
+
+            perm_np, inv_np = spatial_block_order(bh, bw, 8, max(1, qt // 8))
+            perm, inv_perm = jnp.asarray(perm_np), jnp.asarray(inv_np)
+            query = query[:, perm]
+            value_q = value[:, 0][:, perm]
+            reference_points = reference_points[:, :, perm]
+        else:
+            value_q = value[:, 0]
+
         # offsets/weights are predicted from [prev_bev_value, query] concat
         # (reference :203)
-        q_in = jnp.concatenate([value[:, 0], query], axis=-1)  # (B, Q, 2C)
+        q_in = jnp.concatenate([value_q, query], axis=-1)  # (B, Q, 2C)
 
         value_flat = value.reshape(B * NQ, Q, C)
         v = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
@@ -138,17 +162,22 @@ class TemporalSelfAttention(nn.Module):
             + offsets / normalizer[None, None, None, :, None, :]
         )
 
-        (bh, bw) = spatial_shapes[0]
-        slab = (min(bh + 2, self.q_tile // max(bw, 1) + 12) if self.use_slab
-                else None)
+        slab = None
+        if self.use_slab:
+            # block tiles span 8 grid rows + sampling margin; row-major
+            # tiles span ~qt/bev_w rows + margin
+            slab = (min(bh + 2, 8 + 12) if perm is not None
+                    else min(bh + 2, qt // max(bw, 1) + 12))
         # window=True: TSA's learned offsets are initialized within 4 cells
         # and stay spatially compact, so on grids beyond VMEM residency
         # (200x200 base BEV) the clamped block-window kernel is safe — the
         # explicit opt-in keeps wide-sampling callers (SCA) off that path
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
                              impl=self.msda_impl, slab_rows=slab,
-                             q_tile=self.q_tile, window=True)
+                             q_tile=qt, window=True)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
+        if inv_perm is not None:
+            out = out[:, inv_perm]
         out = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -238,12 +267,15 @@ class SpatialCrossAttention(nn.Module):
     dropout: float = 0.1
     msda_impl: str = "auto"
     bev_hw: Optional[Tuple[int, int]] = None
-    # 32-query tiles in 8x4 spatial blocks: the mask build is VPU-bound at
+    # None = auto per pyramid depth. Single-level (flagship): 32-query
+    # tiles in 8x4 spatial blocks — the scatter-mask build is VPU-bound at
     # QT·S per point; smaller tiles skip more cameras (measured 52% -> 35%
     # active pairs at 64) and project narrower row bands (p50 15 -> 11
-    # rows). Swept 128/64/32/16: 32 is the flagship optimum (16 regresses
-    # on program count / sublane underutilization).
-    q_tile: int = 32
+    # rows); swept 128/64/32/16, 32 is the flagship optimum. Multi-level
+    # (base-scale) rides the transposed point-stacked kernel whose output
+    # block puts QT in lanes -> 128 (measured 32.1 ms vs the chunk
+    # kernel's 109.8 at qt=64 / 136.2 at qt=32, bev_base_occ SCA scale).
+    q_tile: Optional[int] = None
     # image row-slab windowing: a spatially-compact BEV tile projects into
     # a band of camera rows; half the (padded) image height covers the vast
     # majority of tiles (outliers fall back exactly inside the kernel)
@@ -272,6 +304,7 @@ class SpatialCrossAttention(nn.Module):
 
         ref_cam = reference_points_cam
         hit = jnp.any(bev_mask, axis=-1)  # (N, B, Q)
+        qt = self.q_tile or (128 if self.num_levels > 1 else 32)
         inv_perm = None
         tile_mask = None
         if self.bev_hw is not None and self.msda_impl.split("_")[0] in ("auto", "pallas"):
@@ -280,14 +313,14 @@ class SpatialCrossAttention(nn.Module):
             )
 
             bh_blk = 8
-            bw_blk = max(1, self.q_tile // bh_blk)
+            bw_blk = max(1, qt // bh_blk)
             perm, inv_perm = spatial_block_order(*self.bev_hw, bh_blk, bw_blk)
             perm = jnp.asarray(perm)
             inv_perm = jnp.asarray(inv_perm)
             query = query[:, perm]
             ref_cam = ref_cam[:, :, perm]
             hit = hit[:, :, perm]
-            QT = self.q_tile
+            QT = qt
             Qp = (Q + QT - 1) // QT * QT
             hit_pad = jnp.pad(
                 hit.transpose(1, 0, 2).reshape(B * N, Q),
@@ -326,7 +359,7 @@ class SpatialCrossAttention(nn.Module):
                              for (h, w) in spatial_shapes)
         out = inner(q_cam, v_cam, reference_points=ref,
                     spatial_shapes=spatial_shapes, tile_mask=tile_mask,
-                    slab_rows=slab, q_tile=self.q_tile)
+                    slab_rows=slab, q_tile=qt)
         out = out.reshape(B, N, Q, C)
 
         hitf = hit.transpose(1, 0, 2).astype(out.dtype)  # (B, N, Q)

@@ -97,7 +97,8 @@ def _build_padded_value(value, spatial_shapes, dtype=None):
     return jnp.concatenate(out, axis=2)
 
 
-def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base):
+def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base,
+                   yx=None):
     """Combined (QT, S) scatter mask for one (head, level).
 
     loc_hd: (QT, L*P*2) this head's sampling locations; attn_hd: (QT, L*P).
@@ -111,11 +112,16 @@ def _weighted_mask(loc_hd, attn_hd, *, lvl, num_points, h, w, QT, S, base):
     end-to-end: Mosaic does not pack these mixed-width VPU chains, so the
     extra passes only added cost (round-2 negative result)."""
     wp = w + 2
-    col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
-    # padded-grid integer coords of every flat cell (computed once,
-    # amortized over the point loop)
-    yc = (col // wp).astype(jnp.float32)
-    xc = (col % wp).astype(jnp.float32)
+    if yx is not None:
+        # caller-precomputed padded-grid coords (hoisted across the head
+        # loop: the iota + integer div/mod are identical for all heads)
+        yc, xc = yx
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
+        # padded-grid integer coords of every flat cell (computed once,
+        # amortized over the point loop)
+        yc = (col // wp).astype(jnp.float32)
+        xc = (col % wp).astype(jnp.float32)
     Wm = jnp.zeros((QT, S), jnp.float32)
     for p in range(num_points):
         flat = lvl * num_points + p
@@ -157,6 +163,15 @@ def _contract_all_heads(
     kdt = value_ref.dtype
     prec = precision or jax.lax.Precision.HIGHEST
 
+    # padded-grid coords per level, hoisted across the head loop (the
+    # iota + integer div/mod are identical for all heads)
+    yxs = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        S = int(pstarts[lvl + 1] - pstarts[lvl])
+        col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1)
+        yxs.append(((col // (w + 2)).astype(jnp.float32),
+                    (col % (w + 2)).astype(jnp.float32)))
+
     for hh in range(H):
         loc_hd = loc_ref[0, :, hh * lp2:(hh + 1) * lp2]
         attn_hd = attn_ref[0, :, hh * lp:(hh + 1) * lp]
@@ -167,6 +182,7 @@ def _contract_all_heads(
             Wm = _weighted_mask(
                 loc_hd, attn_hd, lvl=lvl,
                 num_points=num_points, h=h, w=w, QT=QT, S=S, base=0,
+                yx=yxs[lvl],
             )
             acc = acc + jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -258,6 +274,10 @@ def _msda_kernel_slab(
         base = slab_ref[b, q] * sublane_align
         kdt = value_ref.dtype
         prec = precision or jax.lax.Precision.HIGHEST
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (QT, slab_elems), 1) + base
+        yx = ((col // (w + 2)).astype(jnp.float32),
+              (col % (w + 2)).astype(jnp.float32))
 
         for hh in range(H):
             vblock = value_ref[0, hh, pl.ds(base, slab_elems), :]
@@ -265,7 +285,7 @@ def _msda_kernel_slab(
                 loc_ref[0, :, hh * P * 2:(hh + 1) * P * 2],
                 attn_ref[0, :, hh * P:(hh + 1) * P], lvl=0,
                 num_points=num_points, h=h, w=w, QT=QT, S=slab_elems,
-                base=base,
+                base=base, yx=yx,
             )
             out_ref[0, hh, :, :] = jnp.dot(
                 Wm.astype(kdt), vblock,
@@ -405,6 +425,10 @@ def _msda_kernel_ml_chunk(
 
             def chunk_body(c, accs, lvl=lvl, h=h, w=w, S=S):
                 base = c * S
+                wp = w + 2
+                col = jax.lax.broadcasted_iota(jnp.int32, (QT, S), 1) + base
+                yx = ((col // wp).astype(jnp.float32),
+                      (col % wp).astype(jnp.float32))
                 new = []
                 for hh in range(H):
                     loc_hd = loc_ref[0, :, hh * lp2:(hh + 1) * lp2]
@@ -412,7 +436,7 @@ def _msda_kernel_ml_chunk(
                     vblock = value_refs[lvl][0, hh, pl.ds(base, S), :]
                     Wm = _weighted_mask(
                         loc_hd, attn_hd, lvl=lvl, num_points=P,
-                        h=h, w=w, QT=QT, S=S, base=base,
+                        h=h, w=w, QT=QT, S=S, base=base, yx=yx,
                     )
                     new.append(accs[hh] + jnp.dot(
                         Wm.astype(kdt), vblock,
@@ -423,6 +447,236 @@ def _msda_kernel_ml_chunk(
             accs = jax.lax.fori_loop(
                 lo_ref[lvl, b, q], hi_ref[lvl, b, q], chunk_body,
                 tuple(accs))
+        for hh in range(H):
+            out_ref[0, hh, :, :] = accs[hh].astype(out_ref.dtype)
+
+
+def _build_level_value_2dT(value, spatial_shapes, lvl, dtype, row_align,
+                           col_block):
+    """One level's column-blocked (B, H, n_cb, hp_pad, CB·D) operand:
+    1-ring zero-padded grid, columns grouped into CB-cell blocks (CB·D =
+    one 128-LANE group for D=32 — exact, no lane padding waste), padded
+    rows in SUBLANES (rounded up to row_align=8 — exact).
+    v[b, h, c, r, k·D + d] = grid cell (r, c·CB + k) channel d. The pt2d
+    kernel contracts over rows via dot_general on lhs dim 0 (the MXU
+    takes the transposed feed natively), producing g in (CB·D, P·QT)
+    orientation, where the per-column post-weights are sublane broadcasts
+    and the point reduction is vreg-aligned lane slices (the
+    natural-orientation kernel spent 6x the matmul time on (QT, 1)-lane-
+    sliced post ops). Rows-in-lanes was the first layout here; it padded
+    hp to 128 lanes — 2x resident VMEM (13 MB vs 6.6 at base scale),
+    enough to crash the TPU worker inside large combined graphs."""
+    if dtype is not None and value.dtype != dtype:
+        value = value.astype(dtype)
+    B, V, H, D = value.shape
+    sizes = [h * w for h, w in spatial_shapes]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    (h, w) = spatial_shapes[lvl]
+    hp, wp = h + 2, w + 2
+    hp_pad = -(-hp // row_align) * row_align
+    n_cb = -(-wp // col_block)
+    v = jax.lax.slice_in_dim(
+        value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
+    ).reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
+    v = jnp.pad(v, [(0, 0), (0, 0), (1, hp_pad - hp + 1),
+                    (1, n_cb * col_block - wp + 1), (0, 0)])
+    v = v.reshape(B, H, hp_pad, n_cb, col_block * D)
+    return v.transpose(0, 1, 3, 2, 4)  # (B, H, n_cb, hp_pad, CB·D)
+
+
+def _pack_tile_major(sampling_locations, attention_weights, spatial_shapes,
+                     q_tile, Qp):
+    """(B,Q,H,L,P,2)+(B,Q,H,L,P) -> tile-major lane-packed kernel operands
+    pxs/pys (padded-grid pixel coords) and ss (attention · inside), each
+    (B, n_tiles, L·H, P·q_tile) f32: value at [b, t, lvl·H + h, p·QT + q]
+    belongs to sample (query t·QT+q, head h, level lvl, point p); blocked
+    axes (b, t) lead so the VMEM block's trailing two dims are full-size
+    (the Pallas TPU (8, 128)-divisibility rule). In this
+    layout every per-(head, point) scalar the kernel needs sits along
+    LANES in (1, P·QT) rows, so the row-hat build and the column
+    post-weights are sublane broadcasts — the natural (QT, 1) orientation
+    cost ~50 cycles per scalar op in Mosaic (measured: the post-weight
+    loop alone was 6x the kernel's matmul time). Coordinate scaling /
+    inside flag / s-fold also happen here, as fused XLA elementwise."""
+    B, Q, H, L, P, _ = sampling_locations.shape
+    n_tiles = Qp // q_tile
+    wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)  # (L, 2)
+    loc = sampling_locations.astype(jnp.float32)
+    pxy = loc * wh[None, None, None, :, None, :] + 0.5  # padded coords
+    inside = (
+        (pxy[..., 0] > 0.0)
+        & (pxy[..., 0] < wh[None, None, None, :, None, 0] + 1.0)
+        & (pxy[..., 1] > 0.0)
+        & (pxy[..., 1] < wh[None, None, None, :, None, 1] + 1.0)
+    )
+    s = attention_weights.astype(jnp.float32) * inside.astype(jnp.float32)
+
+    def pack(a):  # (B, Q, H, L, P) -> (B, n_tiles, L·H, P·QT)
+        if Qp != Q:
+            a = jnp.pad(a, [(0, 0), (0, Qp - Q)] + [(0, 0)] * 3)
+        a = a.reshape(B, n_tiles, q_tile, H, L, P)
+        a = a.transpose(0, 1, 4, 3, 5, 2)  # (B, T, L, H, P, QT)
+        return a.reshape(B, n_tiles, L * H, P * q_tile)
+
+    return pack(pxy[..., 0]), pack(pxy[..., 1]), pack(s)
+
+
+def _bounds_cols(pxs, spatial_shapes, q_tile, col_block, n_cb, B, H,
+                 num_points, q_valid=None):
+    """Per-(level, batch, tile) [lo, hi) col-block bounds covering the
+    tile's bilinear support (exact coverage: padded corner col =
+    clip(floor(px), 0, w), support = {col, col+1}). Operates on the
+    tile-major packed coords from _pack_tile_major."""
+    L = len(spatial_shapes)
+    B_, n_tiles, LH, PQT = pxs.shape
+    P = num_points
+    px = pxs.reshape(B, n_tiles, L, H, PQT)
+    tail = None
+    if q_valid is not None:
+        qt_of_lane = jnp.arange(PQT) % q_tile
+        tile_base = jnp.arange(n_tiles) * q_tile
+        tail = (tile_base[:, None] + qt_of_lane[None, :]) < q_valid
+        tail = tail[None, :, None]  # (1, T, 1, PQT)
+    clo, chi = [], []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        x0 = jnp.clip(jnp.floor(px[:, :, lvl]).astype(jnp.int32), 0, w)
+        if tail is not None:
+            cmin = jnp.where(tail, x0, w + 1).min(axis=(2, 3))
+            cmax = jnp.where(tail, x0, -1).max(axis=(2, 3)) + 1
+        else:
+            cmin = x0.min(axis=(2, 3))
+            cmax = x0.max(axis=(2, 3)) + 1
+        clo.append(jnp.clip(cmin // col_block, 0, n_cb[lvl]).astype(jnp.int32))
+        chi.append(jnp.clip(-(-(cmax + 1) // col_block), 0,
+                            n_cb[lvl]).astype(jnp.int32))
+    return jnp.stack(clo), jnp.stack(chi)  # (L, B, n_tiles) each
+
+
+def _msda_kernel_pt2d(
+    *args,              # scalar prefetch (see below), v_0..v_{L-1},
+                        # pxk_ref, pyk_ref, sk_ref, out_ref
+    spatial_shapes, num_points, head_dim, col_block, q_tile,
+    compact=False, precision=None,
+):
+    """Point-stacked column-windowed MSDA kernel, TRANSPOSED orientation
+    (base-scale SCA).
+
+    Exploits bilinear-hat separability per point p —
+    s_p·wy_p(row)·wx_p(col) — to move the mask work onto the MXU, with
+    every vector op in Mosaic's cheap orientation: scalars-per-sample ride
+    in LANES as (1, P·QT) rows (tile-major packing), grids put rows in
+    lanes / channels in sublanes. Per (level, head) the s-folded row hats
+    over the full padded height build as ONE (hp, P·QT) op chain (sublane
+    iota × lane row — no (QT, 1) scalar broadcasts, which cost a full
+    8-vreg op per scalar and made the natural-orientation variant 3x
+    slower than the chunk kernel: 359 vs 110 ms/frame measured); the
+    column blocks contract as vT(CB·D, hp) @ W(hp, P·QT) → gT(CB·D, P·QT)
+    on the MXU; the column hats apply as ONE (CB·D, P·QT) multiply (built
+    from a sublane coordinate iota, k = sublane//D) followed by lane-block
+    (over p) and sublane-block (over k) reductions — ~15 big vector ops
+    per (head, col-block) instead of P·CB=32 lane-sliced FMAs. The
+    [lo, hi) col-block bounds skip the columns the full-width row slabs
+    used to stream. ALWAYS exact — any touched cell lies inside some
+    covered column block; cells outside a sample's 2-cell hat support
+    contribute exactly zero. Output is transposed (B, H, D, Qp); the
+    caller untransposes in XLA (one fused copy) rather than paying
+    per-program (D, QT) transposes in Mosaic.
+
+    compact=False scalar prefetch: clo, chi (L, B, n_tiles) col-block
+    bounds; tmask (B, n_tiles) tile visibility — grid (B, n_tiles), one
+    program per tile, masked tiles write zeros.
+    compact=True scalar prefetch: tids (B, cap) tile ids with the ACTIVE
+    tiles first (then inactive fill); cnt (B,) active counts; clo, chi —
+    grid (B, cap): program g serves tile tids[b, g], so the per-program
+    dispatch floor (~13.5 ms of the 32 ms call at base-SCA scale, ~75%
+    of programs inactive) shrinks with the cap. Programs g >= cnt[b]
+    write zeros into (inactive) tiles; inactive tiles beyond the cap are
+    never written — the caller masks them out in XLA."""
+    if compact:
+        tids_ref, cnt_ref, clo_ref, chi_ref = args[:4]
+        refs = args[4:]
+    else:
+        clo_ref, chi_ref, tmask_ref = args[:3]
+        refs = args[3:]
+    L = len(spatial_shapes)
+    value_refs = refs[:L]
+    pxk_ref, pyk_ref, sk_ref = refs[L], refs[L + 1], refs[L + 2]
+    out_ref = refs[L + 3]
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    H = value_refs[0].shape[1]
+    QT = q_tile
+    D = head_dim
+    P = num_points
+    CB = col_block
+    PQT = P * QT
+    if compact:
+        q = tids_ref[b, g]
+        active = g < cnt_ref[b]
+    else:
+        q = g
+        active = tmask_ref[b, g] > 0
+    kdt = value_refs[0].dtype
+    prec = precision or jax.lax.Precision.HIGHEST
+    _dbg = os.environ.get("MSDA_PT2D_DEBUG", "full")
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros_like(out_ref[0, :, :, :])
+
+    @pl.when(active)
+    def _():
+        accs = [jnp.zeros((D, QT), jnp.float32) for _ in range(H)]
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            hp_pad = value_refs[lvl].shape[3]
+            # per-head transposed row-hat matrices (hp, P·QT), hoisted out
+            # of the column loop (column-invariant): rows-in-sublanes iota
+            # against the lane-packed py/s rows — full-width 2D vector ops
+            yc = jax.lax.broadcasted_iota(
+                jnp.int32, (hp_pad, PQT), 0).astype(jnp.float32)
+            w_alls, pxs = [], []
+            for hh in range(H):
+                r = lvl * H + hh
+                py = pyk_ref[0, 0, r:r + 1, :]   # (1, P·QT)
+                s = sk_ref[0, 0, r:r + 1, :]
+                # s-folded row hat: s·relu(1 - |yc - py|)
+                w_alls.append(jnp.maximum(
+                    s - jnp.abs(yc - py) * s, 0.0).astype(kdt))
+                pxs.append(pxk_ref[0, 0, r:r + 1, :])
+            # sublane → within-block column offset map (k = sublane // D),
+            # shared by all heads and column blocks
+            kcol = (jax.lax.broadcasted_iota(
+                jnp.int32, (CB * D, PQT), 0) // D).astype(jnp.float32)
+
+            def cb_body(cb, accs, lvl=lvl, w_alls=w_alls, pxs=pxs,
+                        kcol=kcol):
+                new = list(accs)
+                ccol = kcol + cb.astype(jnp.float32) * CB
+                for hh in range(H):
+                    vblk = value_refs[lvl][0, hh, cb, :, :]  # (hp, CB·D)
+                    gT = jax.lax.dot_general(
+                        vblk, w_alls[hh],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )  # (CB·D, P·QT)
+                    if _dbg != "nopost":
+                        # column hats for all (k, p, q) in one op chain;
+                        # sublane k·D+d holds column cb·CB+k's hat
+                        gT = gT * jnp.maximum(
+                            1.0 - jnp.abs(ccol - pxs[hh]), 0.0)
+                    # reduce p (lane blocks) then k (sublane blocks)
+                    red = gT[:, :QT]
+                    for p in range(1, P):
+                        red = red + gT[:, p * QT:(p + 1) * QT]
+                    a = new[hh]
+                    for k in range(CB):
+                        a = a + red[k * D:(k + 1) * D, :]
+                    new[hh] = a
+                return tuple(new)
+
+            accs = jax.lax.fori_loop(
+                clo_ref[lvl, b, q], chi_ref[lvl, b, q], cb_body, tuple(accs))
         for hh in range(H):
             out_ref[0, hh, :, :] = accs[hh].astype(out_ref.dtype)
 
@@ -452,6 +706,113 @@ def _msda_pallas_fwd_impl(
     kdtype = jnp.bfloat16 if fast else jnp.float32
     align = 16 if kdtype == jnp.bfloat16 else 8
     n_tiles_pre = Qp // QT
+    if (L > 1 and slab_rows is not None and not isinstance(slab_rows, int)
+            and (QT % 128 == 0 or Qp == QT)  # out block: QT rides in lanes
+            and os.environ.get("MSDA_ML_KERNEL", "pt2d") == "pt2d"):
+        # multi-level point-stacked transposed path (base-scale SCA):
+        # MXU row-hat contraction + one-multiply column post-weights,
+        # [lo, hi) col-block bounds per (tile, level) — always exact.
+        # Column-block M (= CB·D sublanes per matmul): swept {128, 256,
+        # 512} at base-SCA scale — 128 wins (32.1 / 33.6 / 36 ms): wider
+        # blocks halve the matmul count but double the wasted edge
+        # columns, so the loop is execution-bound, not dispatch-bound
+        CB = max(1, int(os.environ.get("MSDA_PT2D_M", "128")) // D)
+        n_cb = tuple(-(-(w + 2) // CB) for (h, w) in spatial_shapes)
+        levels = [
+            _build_level_value_2dT(value, spatial_shapes, lvl, kdtype, 8, CB)
+            for lvl in range(L)
+        ]
+        pxk, pyk, sk = _pack_tile_major(
+            sampling_locations, attention_weights, spatial_shapes, QT, Qp)
+        clo, chi = _bounds_cols(
+            pxk, spatial_shapes, QT, CB, n_cb, B, H, P, q_valid=Q)
+        _dbg = os.environ.get("MSDA_PT2D_DEBUG", "full")
+        if _dbg == "nocb":
+            chi = clo
+        tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
+              else jnp.ones((B, n_tiles_pre), jnp.int32))
+        if _dbg == "alloff":
+            tm = jnp.zeros_like(tm)
+        assert tm.shape == (B, n_tiles_pre), (tm.shape, (B, n_tiles_pre))
+        shapes_t0 = tuple(tuple(s) for s in spatial_shapes)
+        cost_2d = pl.CostEstimate(
+            flops=2 * B * Qp * H * P
+            * sum(lv.shape[3] * CB * D for lv in levels),
+            bytes_accessed=B * (sum(lv.size // B for lv in levels)
+                                * (2 if fast else 4)
+                                + Qp * H * L * P * 3 * 4),
+            transcendentals=0,
+        )
+        cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "MSDA_VMEM_LIMIT_MB", "32")) * 1024 * 1024)
+        out_sds = jax.ShapeDtypeStruct((B, H, D, Qp), value.dtype)
+
+        def pt2d_call(compact, cap=None):
+            kernel = functools.partial(
+                _msda_kernel_pt2d,
+                spatial_shapes=shapes_t0, num_points=P, head_dim=D,
+                col_block=CB, q_tile=QT, compact=compact,
+                precision=jax.lax.Precision.DEFAULT if fast else None,
+            )
+            if compact:
+                pk_idx = lambda b, g, tids, cnt, lo, hi: (b, tids[b, g], 0, 0)
+                out_idx = lambda b, g, tids, cnt, lo, hi: (b, 0, 0,
+                                                           tids[b, g])
+            else:
+                pk_idx = lambda b, g, *_: (b, g, 0, 0)
+                out_idx = lambda b, g, *_: (b, 0, 0, g)
+            pk_spec = pl.BlockSpec((1, 1, L * H, P * QT), pk_idx,
+                                   memory_space=pltpu.VMEM)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4 if compact else 3,
+                grid=(B, cap if compact else n_tiles_pre),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, H, n_cb[lvl], levels[lvl].shape[3], CB * D),
+                        (lambda b, g, *_: (b, 0, 0, 0, 0)),
+                        memory_space=pltpu.VMEM)
+                    for lvl in range(L)
+                ] + [pk_spec, pk_spec, pk_spec],
+                out_specs=pl.BlockSpec((1, H, D, QT), out_idx,
+                                       memory_space=pltpu.VMEM),
+            )
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_sds,
+                interpret=interpret, cost_estimate=cost_2d,
+                compiler_params=cparams,
+            )
+
+        # Active-tile compaction: only ~20-25% of (camera, tile) programs
+        # are visible at base-SCA scale, and the per-program dispatch floor
+        # is ~40% of the kernel's runtime. Shrink the grid to a static cap
+        # of tiles served through a scalar-prefetch tile-id map (active
+        # first); if the active count ever exceeds the cap, lax.cond falls
+        # back to the exact full grid, so the cap is a perf knob, never a
+        # correctness one. Inactive tiles beyond the cap are never written
+        # — the jnp.where masks their (uninitialized) slots.
+        cap_frac = float(os.environ.get("MSDA_PT2D_CAP", "0.5"))
+        cmin = int(os.environ.get("MSDA_PT2D_COMPACT_MIN", "64"))
+        if tile_mask is not None and n_tiles_pre >= cmin and cap_frac > 0:
+            cap = min(n_tiles_pre,
+                      max(1, int(np.ceil(n_tiles_pre * cap_frac))))
+            cnt = tm.sum(axis=1).astype(jnp.int32)
+            order = jnp.argsort((tm == 0).astype(jnp.int32), axis=1,
+                                stable=True).astype(jnp.int32)
+            tids = order[:, :cap]
+            out = jax.lax.cond(
+                jnp.max(cnt) <= cap,
+                lambda: pt2d_call(True, cap)(
+                    tids, cnt, clo, chi, *levels, pxk, pyk, sk),
+                lambda: pt2d_call(False)(
+                    clo, chi, tm, *levels, pxk, pyk, sk),
+            )
+            qmask = jnp.repeat(tm.astype(jnp.bool_), QT, axis=1)  # (B, Qp)
+            out = jnp.where(qmask[:, None, None, :], out,
+                            jnp.zeros((), out.dtype))
+        else:
+            out = pt2d_call(False)(clo, chi, tm, *levels, pxk, pyk, sk)
+        return out.transpose(0, 3, 1, 2)[:, :Q].reshape(B, Q, H * D)
     if L > 1 and slab_rows is not None and not isinstance(slab_rows, int):
         # multi-level chunked path (base-scale SCA): per-level operand
         # buffers, fixed per-level chunk sizes, dynamic [lo, hi) chunk

@@ -322,3 +322,61 @@ def test_pallas_ml_slab_matches_xla_interpret():
         value, shapes, locs, attn, interpret=True, q_tile=64,
         slab_rows=(16, 9, 6)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_pt2d_matches_xla_interpret(monkeypatch):
+    """Transposed point-stacked multi-level kernel (base-scale SCA default
+    at q_tile=128) == XLA: tail queries, tile skipping, fast mode, and
+    off-grid samples (zero via the s-fold, col bounds stay clipped)."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_fwd_impl
+
+    monkeypatch.setenv("MSDA_ML_KERNEL", "pt2d")
+    rng = np.random.default_rng(13)
+    shapes = ((14, 10), (7, 5), (4, 3))
+    B, H, D, Q, P = 2, 3, 8, 300, 4  # QT=128 -> Qp=384, padded tail
+    V = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    locs = rng.uniform(-0.15, 1.15, (B, Q, H, L, P, 2)).astype(np.float32)
+    attn = rng.random((B, Q, H, L, P)).astype(np.float32)
+    attn /= attn.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+
+    want = np.asarray(ms_deform_attn_xla(value, shapes, locs, attn))
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # tile skipping zeroes skipped tiles and keeps kept tiles exact
+    tile_mask = np.array([[True, False, True], [True, True, False]])
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3), tile_mask=jnp.asarray(tile_mask)))
+    np.testing.assert_allclose(got[0, :128], want[0, :128], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[0, 128:256] == 0)
+    np.testing.assert_allclose(got[1, :256], want[1, :256], rtol=1e-5,
+                               atol=1e-5)
+    assert np.all(got[1, 256:] == 0)
+
+    # fast (bf16 contraction) stays within bf16 tolerance
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, locs, attn, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3), fast=True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    # active-tile compaction: same result through the compact grid (cap
+    # covers the 2 active tiles) AND through the lax.cond full-grid
+    # fallback (cap below the active count)
+    monkeypatch.setenv("MSDA_PT2D_COMPACT_MIN", "2")
+    for cap_frac in ("0.67", "0.2"):  # cap=3 (compact), cap=1 < count=2
+        monkeypatch.setenv("MSDA_PT2D_CAP", cap_frac)
+        got = np.asarray(_msda_pallas_fwd_impl(
+            value, shapes, locs, attn, interpret=True, q_tile=128,
+            slab_rows=(6, 4, 3), tile_mask=jnp.asarray(tile_mask)))
+        np.testing.assert_allclose(got[0, :128], want[0, :128], rtol=1e-5,
+                                   atol=1e-5)
+        assert np.all(got[0, 128:256] == 0)
+        np.testing.assert_allclose(got[1, :256], want[1, :256], rtol=1e-5,
+                                   atol=1e-5)
+        assert np.all(got[1, 256:] == 0)

@@ -1,0 +1,180 @@
+"""Per-op attribution bench for the base-scale (200x200) encoder layer.
+
+Rebuilds the EXACT operands the encoder hands each hot op at
+``bev_base_occ`` scale — real projection geometry from a synthetic batch,
+bias-init sampling offsets (what init-params benches measure), uniform
+attention — and times each op in its own lax.scan jit (same methodology
+as bench.py / tools/bench_stages.py). Run on the TPU.
+
+Usage: python tools/bench_base_encoder.py [--frames 16] [--ops sca,tsa,...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, args, n, label):
+    @jax.jit
+    def run(*args):
+        def body(c, i):
+            out = fn(*jax.tree.map(lambda a: a, args[:-1]), args[-1] + c * 1e-6)
+            s = jax.tree.leaves(out)[0].astype(jnp.float32).sum()
+            return c + s * 1e-20, s
+        _, ss = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+        return ss.sum()
+
+    s = run(*args); float(s)
+    t0 = time.perf_counter()
+    s = run(*args); float(s)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"{label:34s} {ms:9.3f} ms/frame")
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--ops", default="sca,tsa,dense,ffn")
+    ap.add_argument("--qt", type=int, default=32)
+    args = ap.parse_args()
+    ops = set(args.ops.split(","))
+
+    from apollo_vision_net_tpu import configs as cfglib
+    from apollo_vision_net_tpu.data.synthetic import make_batch
+    from apollo_vision_net_tpu.models.attention import grid_offset_bias
+    from apollo_vision_net_tpu.ops.msda import ms_deform_attn
+    from apollo_vision_net_tpu.utils.geometry import (
+        bev_reference_points_3d, point_sampling, spatial_block_order,
+    )
+
+    cfg = cfglib.bev_base_occ()
+    m = cfg.model
+    B, N, C, H = 1, m.num_cams, m.embed_dims, 8
+    D = C // H
+    bev_h = bev_w = m.bev_h
+    Q = bev_h * bev_w
+    L, P_sca, P_tsa = m.num_feature_levels, 8, 4
+    Dz = m.num_points_in_pillar
+    img_h, img_w = m.img_shape
+    # feature pyramid shapes (strides 8/16/32/64 — matches extract_img_feat)
+    shapes = tuple((img_h // s, img_w // s) for s in (8, 16, 32, 64))[:L]
+    V = sum(h * w for h, w in shapes)
+    print(f"shapes={shapes} V={V} Q={Q}")
+
+    batch = jax.tree.map(jnp.asarray, make_batch(cfg, batch_size=B, seed=0))
+    lidar2img = batch["lidar2img"][:, -1]  # (B, N, 4, 4)
+
+    # --- real projection geometry ---
+    z_size = m.pc_range[5] - m.pc_range[2]
+    ref_3d = jnp.asarray(bev_reference_points_3d(
+        bev_h, bev_w, z_size, Dz))
+    ref_cam, bev_mask = point_sampling(
+        ref_3d, m.pc_range, lidar2img[0], (img_h, img_w))
+    # point_sampling returns per-camera (N, Q?, ...) — normalize shapes
+    ref_cam = jnp.asarray(ref_cam)   # (N, B?, Q, Dz, 2) per utils.geometry
+    bev_mask = jnp.asarray(bev_mask)
+    if ref_cam.ndim == 4:            # (N, Q, Dz, 2) -> add batch
+        ref_cam = ref_cam[:, None]
+        bev_mask = bev_mask[:, None]
+    print("ref_cam", ref_cam.shape, "bev_mask", bev_mask.shape,
+          "hit frac", float(bev_mask.any(-1).mean()))
+
+    rng = np.random.default_rng(0)
+
+    # ---------------- SCA operand build (mirrors SpatialCrossAttention) ---
+    QT = args.qt
+    perm, _ = spatial_block_order(bev_h, bev_w, 8, max(1, QT // 8))
+    ref_cam_p = ref_cam[:, :, jnp.asarray(perm)]
+    hit = bev_mask.any(-1)[:, :, jnp.asarray(perm)]        # (N, B, Q)
+    Qp = (Q + QT - 1) // QT * QT
+    hit_pad = jnp.pad(hit.transpose(1, 0, 2).reshape(B * N, Q),
+                      [(0, 0), (0, Qp - Q)])
+    tile_mask = hit_pad.reshape(B * N, Qp // QT, QT).any(-1)
+    print("sca active tile frac", float(tile_mask.mean()))
+
+    ref = ref_cam_p.transpose(1, 0, 2, 3, 4).reshape(B * N, Q, Dz, 2)
+    bias = grid_offset_bias(H, L, P_sca).reshape(H, L, P_sca, 2)
+    normalizer = np.array([[w, h] for h, w in shapes], np.float32)
+    offs = jnp.asarray(bias)[None, None] / normalizer[None, None, None, :, None, :]
+    offs = offs.reshape(1, 1, H, L, P_sca // Dz, Dz, 2)
+    sca_loc = (ref[:, :, None, None, None, :, :] + offs).reshape(
+        B * N, Q, H, L, P_sca, 2).astype(jnp.float32)
+    sca_attn = jnp.full((B * N, Q, H, L, P_sca), 1.0 / (L * P_sca), jnp.float32)
+    sca_val = jnp.asarray(
+        rng.standard_normal((B * N, V, H, D)), jnp.bfloat16)
+    sca_slab = tuple(max(8, (h + 4) // 3) for (h, w) in shapes)
+
+    def sca_op(val, loc, attn, tm, eps):
+        return ms_deform_attn(val, shapes, loc + eps * 1e-9, attn,
+                              impl="auto_fast", tile_mask=tm,
+                              slab_rows=sca_slab, q_tile=QT)
+
+    # ---------------- TSA operand build (mirrors TemporalSelfAttention) ---
+    ys = (np.arange(bev_h) + 0.5) / bev_h
+    xs = (np.arange(bev_w) + 0.5) / bev_w
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    ref2d = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)
+    tbias = grid_offset_bias(H, 2, P_tsa).reshape(H, 2, P_tsa, 2)
+    tnorm = np.array([bev_w, bev_h], np.float32)
+    tloc = (ref2d[None, :, None, None, :]
+            + tbias.transpose(1, 0, 2, 3)[:, None] / tnorm)  # (2, Q, H, P, 2)
+    tsa_loc = jnp.asarray(
+        tloc[:, :, :, None, :, :], jnp.float32)  # (2, Q, H, 1, P, 2)
+    tsa_attn = jnp.full((2, Q, H, 1, P_tsa), 1.0 / P_tsa, jnp.float32)
+    tsa_val = jnp.asarray(rng.standard_normal((2, Q, H, D)), jnp.bfloat16)
+    t_qt = 32
+    t_slab = min(bev_h + 2, t_qt // bev_w + 12)
+
+    def tsa_op(val, loc, attn, eps):
+        return ms_deform_attn(val, ((bev_h, bev_w),), loc + eps * 1e-9, attn,
+                              impl="auto_fast", slab_rows=t_slab,
+                              q_tile=t_qt, window=True)
+
+    # ---------------- Dense/FFN costs at 40k queries --------------------
+    q40 = jnp.asarray(rng.standard_normal((B, Q, C)), jnp.bfloat16)
+    q40c = jnp.asarray(rng.standard_normal((B * N, Q, C)), jnp.bfloat16)
+    w_off = jnp.asarray(rng.standard_normal((C, H * L * P_sca * 3)),
+                        jnp.bfloat16)  # offsets(2)+attn(1) fused width
+    w_ffn1 = jnp.asarray(rng.standard_normal((C, 512)), jnp.bfloat16)
+    w_ffn2 = jnp.asarray(rng.standard_normal((512, C)), jnp.bfloat16)
+
+    def dense_percam(q, w, eps):
+        return (q + eps * 0) @ w  # (B*N, Q, 768)
+
+    def dense_once(q, w, eps):
+        return (q + eps * 0) @ w
+
+    def ffn(q, w1, w2, eps):
+        return jax.nn.relu((q + eps * 0) @ w1) @ w2
+
+    n = args.frames
+    if "sca" in ops:
+        timed(sca_op, (sca_val, sca_loc, sca_attn, tile_mask,
+                       jnp.zeros(())), n, "SCA msda (chunked kernel)")
+    if "tsa" in ops:
+        timed(tsa_op, (tsa_val, tsa_loc, tsa_attn, jnp.zeros(())), n,
+              "TSA msda (window kernel)")
+    if "dense" in ops:
+        timed(dense_percam, (q40c, w_off, jnp.zeros(())), n,
+              "offs+attn Dense PER-CAM (6x40k)")
+        timed(dense_once, (q40, w_off, jnp.zeros(())), n,
+              "offs+attn Dense once (1x40k)")
+    if "ffn" in ops:
+        timed(ffn, (q40, w_ffn1, w_ffn2, jnp.zeros(())), n,
+              "FFN 40k x 256 x 512")
+
+
+if __name__ == "__main__":
+    main()
