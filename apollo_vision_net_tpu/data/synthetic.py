@@ -64,6 +64,37 @@ def _paint_points(img, lidar2img, pts3d, labels, value=4.0, radius=2):
     return img
 
 
+def _boxes_to_occupancy(boxes, labels, m) -> np.ndarray:
+    """(k, 9) GT boxes -> dense (occ_zdim*occ_xdim*occ_ydim,) class grid,
+    voxel index (zi*xdim + xi)*ydim + yi (the lidar voxelizer's layout,
+    tools/convert_lidar_to_occ.py:44). Voxels inside a box get
+    min(label, occupancy_classes - 1); everything else is empty."""
+    pc = np.asarray(m.pc_range, np.float32)
+    xd, yd, zd = m.occ_xdim, m.occ_ydim, m.occ_zdim
+    dense = np.full(zd * xd * yd, m.occupancy_classes, np.int32)
+    if len(boxes) == 0:
+        return dense
+    xs = pc[0] + (np.arange(xd) + 0.5) * (pc[3] - pc[0]) / xd
+    ys = pc[1] + (np.arange(yd) + 0.5) * (pc[4] - pc[1]) / yd
+    zs = pc[2] + (np.arange(zd) + 0.5) * (pc[5] - pc[2]) / zd
+    zz, xx, yy = np.meshgrid(zs, xs, ys, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)  # (z, x, y) order
+    for b, lab in zip(np.asarray(boxes), np.asarray(labels)):
+        cx, cy, cz, w, l, h, yaw = b[:7]
+        c, s = np.cos(yaw), np.sin(yaw)
+        dx = (pts[:, 0] - cx) * c + (pts[:, 1] - cy) * s   # along heading
+        dy = -(pts[:, 0] - cx) * s + (pts[:, 1] - cy) * c
+        dz = pts[:, 2] - cz
+        # at least one voxel in each dim so thin boxes stay visible
+        vs = np.array([(pc[3] - pc[0]) / xd, (pc[4] - pc[1]) / yd,
+                       (pc[5] - pc[2]) / zd], np.float32)
+        inside = ((np.abs(dx) <= max(l / 2, vs[0] / 2))
+                  & (np.abs(dy) <= max(w / 2, vs[1] / 2))
+                  & (np.abs(dz) <= max(h / 2, vs[2] / 2)))
+        dense[inside] = min(int(lab), m.occupancy_classes - 1)
+    return dense
+
+
 def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
                dtype=np.float32, paint_gt: bool = False
                ) -> Dict[str, np.ndarray]:
@@ -127,13 +158,28 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         # (reference keep_bev_history, detectors/bevformer.py:278-296)
         multi_frame = m.keep_bev_history or m.with_occupancy_flow
         S = T if multi_frame else 1
-        # mostly empty (= occupancy_classes), sparse semantic voxels
-        occ = np.full((B, S, vox), m.occupancy_classes, np.int32)
-        n_occ = vox // 20
-        for b in range(B):
-            for s in range(S):
-                idx = rng.choice(vox, n_occ, replace=False)
-                occ[b, s, idx] = rng.integers(0, m.occupancy_classes, n_occ)
+        if paint_gt:
+            # LEARNABLE occ GT: voxelize the (painted) GT boxes into the
+            # occ grid — same index convention as the lidar voxelizer
+            # (tools/convert_lidar_to_occ.py: vox = (zi*xdim + xi)*ydim
+            # + yi) — so the occ head must place boxes in 3D from the
+            # image cues instead of memorizing random voxels
+            occ1 = np.stack([
+                _boxes_to_occupancy(
+                    gt_boxes[b, :int(n_real[b])],
+                    gt_labels[b, :int(n_real[b])], m)
+                for b in range(B)
+            ])  # (B, vox)
+            occ = np.repeat(occ1[:, None], S, axis=1)
+        else:
+            # mostly empty (= occupancy_classes), sparse semantic voxels
+            occ = np.full((B, S, vox), m.occupancy_classes, np.int32)
+            n_occ = vox // 20
+            for b in range(B):
+                for s in range(S):
+                    idx = rng.choice(vox, n_occ, replace=False)
+                    occ[b, s, idx] = rng.integers(
+                        0, m.occupancy_classes, n_occ)
         batch["gt_occupancy"] = occ if multi_frame else occ[:, 0]
         if m.predict_flow:
             flow = np.zeros((B, S, vox, 2), np.float32)

@@ -27,6 +27,7 @@ coords by ~0.4 cell at 50x50), and the MSDA kernel's output accumulator.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -100,22 +101,43 @@ class TemporalSelfAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos.astype(self.dtype)
 
-        qt = self.q_tile or (128 if Q > 8192 else 32)
+        qt = self.q_tile or int(os.environ.get(
+            "APOLLO_TSA_QT", 128 if Q > 8192 else 32))
         perm = inv_perm = None
         (bh, bw) = spatial_shapes[0]
         if (qt >= 64 and Q == bh * bw
                 and self.msda_impl.split("_")[0] in ("auto", "pallas")):
-            # large-grid window-kernel path: reorder queries into 8×(qt/8)
-            # spatial blocks so each 128-query tile stays window-compact
-            from apollo_vision_net_tpu.utils.geometry import (
-                spatial_block_order,
-            )
+            # large-grid window-kernel path: reorder queries into spatial
+            # blocks so each q_tile stays window-compact. The block shape
+            # must EXACTLY tile the grid — with a ragged edge (e.g. 16∤200),
+            # fixed-qt tiles would mix queries from distant blocks, dragging
+            # the window center off and clamping ~1 tile per block-row
+            # (silently wrong TSA values). Pick the largest exactly-dividing
+            # (bh_blk, bw_blk) with product ≤ qt; fall back to row strips
+            # when nothing ≥64 divides.
+            # block + 4-cell offsets + bilinear must fit the 24×32 window:
+            # bh_blk + 9 ≤ 24, bw_blk + 9 ≤ 32
+            for cand_qt, bh_blk, bw_blk in (
+                    (qt, 8, qt // 8), (64, 8, 8), (64, 4, 16)):
+                if (cand_qt >= 64 and bh % bh_blk == 0
+                        and bw % bw_blk == 0):
+                    qt = cand_qt
+                    break
+            else:
+                bh_blk = None
+            if bh_blk is not None:
+                from apollo_vision_net_tpu.utils.geometry import (
+                    spatial_block_order,
+                )
 
-            perm_np, inv_np = spatial_block_order(bh, bw, 8, max(1, qt // 8))
-            perm, inv_perm = jnp.asarray(perm_np), jnp.asarray(inv_np)
-            query = query[:, perm]
-            value_q = value[:, 0][:, perm]
-            reference_points = reference_points[:, :, perm]
+                perm_np, inv_np = spatial_block_order(bh, bw, bh_blk, bw_blk)
+                perm, inv_perm = jnp.asarray(perm_np), jnp.asarray(inv_np)
+                query = query[:, perm]
+                value_q = value[:, 0][:, perm]
+                reference_points = reference_points[:, :, perm]
+            else:
+                qt = 32
+                value_q = value[:, 0]
         else:
             value_q = value[:, 0]
 
@@ -164,9 +186,9 @@ class TemporalSelfAttention(nn.Module):
 
         slab = None
         if self.use_slab:
-            # block tiles span 8 grid rows + sampling margin; row-major
+            # block tiles span bh_blk grid rows + sampling margin; row-major
             # tiles span ~qt/bev_w rows + margin
-            slab = (min(bh + 2, 8 + 12) if perm is not None
+            slab = (min(bh + 2, bh_blk + 12) if perm is not None
                     else min(bh + 2, qt // max(bw, 1) + 12))
         # window=True: TSA's learned offsets are initialized within 4 cells
         # and stay spatially compact, so on grids beyond VMEM residency
@@ -223,7 +245,7 @@ class MSDeformableAttention3D(nn.Module):
             bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
             dtype=self.dtype,
             name="sampling_offsets",
-        )(query).astype(jnp.float32).reshape(B, Q, H, L, P, 2)
+        )(query).astype(jnp.float32)  # (B, Q, H·L·P·2) FLAT
         attn = nn.Dense(
             H * L * P,
             kernel_init=nn.initializers.zeros,
@@ -234,15 +256,31 @@ class MSDeformableAttention3D(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
         attn = attn.reshape(B, Q, H, L, P)
 
-        normalizer = np.array([[w, h] for h, w in spatial_shapes], np.float32)
         D_z = reference_points.shape[2]
         assert P % D_z == 0, (P, D_z)
-        offsets = offsets / normalizer[None, None, None, :, None, :]
-        offsets = offsets.reshape(B, Q, H, L, P // D_z, D_z, 2)
-        # ref (B, Q, 1, 1, 1, D_z, 2) + offsets -> (B, Q, H, L, P//D_z, D_z, 2)
-        locations = (
-            reference_points[:, :, None, None, None, :, :] + offsets
-        ).reshape(B, Q, H, L, P, 2)
+        # FLAT location math (ref :364-376's 6-D broadcast, restructured):
+        # a 6-D (..., P, 2) value chain makes XLA materialize full-size
+        # 6-D intermediates with conflicting layouts (~50 ms/frame of
+        # copies at the 40k-query base scale). Instead: per-flat-index
+        # 1/normalizer constants fold into one elementwise op, and the
+        # ref broadcast (h, l, pg invariant; z, c indexed) is a tiny
+        # one-hot matmul (B·Q, Dz·2) @ (Dz·2, H·L·P·2) on the MXU. The
+        # 6-D view handed to ms_deform_attn is a free reshape of the
+        # materialized flat buffer.
+        fi = np.arange(H * L * P * 2)
+        c_of = fi % 2
+        p_of = (fi // 2) % P
+        l_of = (fi // (2 * P)) % L
+        z_of = p_of % D_z
+        wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+        inv_norm = (1.0 / wh[l_of, c_of]).astype(np.float32)
+        onehot = np.zeros((D_z * 2, H * L * P * 2), np.float32)
+        onehot[z_of * 2 + c_of, fi] = 1.0
+        loc_flat = (
+            reference_points.reshape(B, Q, D_z * 2) @ jnp.asarray(onehot)
+            + offsets * jnp.asarray(inv_norm)[None, None]
+        )
+        locations = loc_flat.reshape(B, Q, H, L, P, 2)
 
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
                              impl=self.msda_impl, tile_mask=tile_mask,
@@ -304,7 +342,8 @@ class SpatialCrossAttention(nn.Module):
 
         ref_cam = reference_points_cam
         hit = jnp.any(bev_mask, axis=-1)  # (N, B, Q)
-        qt = self.q_tile or (128 if self.num_levels > 1 else 32)
+        qt = self.q_tile or int(os.environ.get(
+            "APOLLO_SCA_QT", 128 if self.num_levels > 1 else 32))
         inv_perm = None
         tile_mask = None
         if self.bev_hw is not None and self.msda_impl.split("_")[0] in ("auto", "pallas"):

@@ -484,41 +484,72 @@ def _build_level_value_2dT(value, spatial_shapes, lvl, dtype, row_align,
     return v.transpose(0, 1, 3, 2, 4)  # (B, H, n_cb, hp_pad, CB·D)
 
 
-def _pack_tile_major(sampling_locations, attention_weights, spatial_shapes,
-                     q_tile, Qp):
-    """(B,Q,H,L,P,2)+(B,Q,H,L,P) -> tile-major lane-packed kernel operands
-    pxs/pys (padded-grid pixel coords) and ss (attention · inside), each
-    (B, n_tiles, L·H, P·q_tile) f32: value at [b, t, lvl·H + h, p·QT + q]
-    belongs to sample (query t·QT+q, head h, level lvl, point p); blocked
-    axes (b, t) lead so the VMEM block's trailing two dims are full-size
-    (the Pallas TPU (8, 128)-divisibility rule). In this
-    layout every per-(head, point) scalar the kernel needs sits along
-    LANES in (1, P·QT) rows, so the row-hat build and the column
-    post-weights are sublane broadcasts — the natural (QT, 1) orientation
-    cost ~50 cycles per scalar op in Mosaic (measured: the post-weight
-    loop alone was 6x the kernel's matmul time). Coordinate scaling /
-    inside flag / s-fold also happen here, as fused XLA elementwise."""
-    B, Q, H, L, P, _ = sampling_locations.shape
+def _pack_tile_major(loc_flat, attn_flat, spatial_shapes, num_heads,
+                     num_points, q_tile):
+    """(B,Qp,H·L·P·2)+(B,Qp,H·L·P) flat operands -> tile-major lane-packed
+    kernel operands pxs/pys (padded-grid pixel coords) and ss
+    (attention · inside), each (B, n_tiles, L·H, P·q_tile) f32: value at
+    [b, t, lvl·H + h, p·QT + q] belongs to sample (query t·QT+q, head h,
+    level lvl, point p); blocked axes (b, t) lead so the VMEM block's
+    trailing two dims are full-size (the Pallas TPU (8, 128)-divisibility
+    rule). In this layout every per-(head, point) scalar the kernel needs
+    sits along LANES in (1, P·QT) rows, so the row-hat build and the
+    column post-weights are sublane broadcasts — the natural (QT, 1)
+    orientation cost ~50 cycles per scalar op in Mosaic (measured: the
+    post-weight loop alone was 6x the kernel's matmul time). Coordinate
+    scaling / inside flag / s-fold also happen here, as fused XLA
+    elementwise.
+
+    Inputs MUST be the flat (512-wide minor dim) layout: a 6-D
+    (..., P, 2) operand materialized row-major pads its minor dim 2 to
+    128 lanes under TPU tiling — a 64x (31 GB at base-SCA scale) copy
+    that OOM-crashed the TPU worker when XLA chose to materialize it at a
+    fusion boundary inside the encoder graph. Reshaping the materialized
+    flat buffer is free; the 6-D view lives only inside this fusion.
+
+    Order of operations: scale on the FLAT side (a (H·L·P·2,)-constant
+    multiply that fuses INTO the pack's transpose copy), pack x/y as the
+    two dim-0 slots of ONE buffer (the Pallas caller addresses slot 0/1
+    through BlockSpec index maps — no slice copies), inside/s-fold in
+    packed space. Doing the coordinate math in 6-D space made XLA
+    materialize a chain of full-size 6-D intermediates with conflicting
+    layouts (reshape/copy/pad/slice-reduce, ~9-13 ms EACH at base-SCA
+    scale, ~190 ms/frame of glue in the traced encoder); a first
+    transpose-THEN-scale variant materialized both the raw and the
+    scaled packs (+9 ms/call).
+
+    Returns (pxyk, sk): pxyk (2, B, n_tiles, L·H, P·QT) padded-grid
+    pixel coords (x = slot 0, y = slot 1), sk (B, n_tiles, L·H, P·QT)
+    attention · inside."""
+    B, Qp, _ = loc_flat.shape
+    H, P, L = num_heads, num_points, len(spatial_shapes)
     n_tiles = Qp // q_tile
-    wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)  # (L, 2)
-    loc = sampling_locations.astype(jnp.float32)
-    pxy = loc * wh[None, None, None, :, None, :] + 0.5  # padded coords
-    inside = (
-        (pxy[..., 0] > 0.0)
-        & (pxy[..., 0] < wh[None, None, None, :, None, 0] + 1.0)
-        & (pxy[..., 1] > 0.0)
-        & (pxy[..., 1] < wh[None, None, None, :, None, 1] + 1.0)
-    )
-    s = attention_weights.astype(jnp.float32) * inside.astype(jnp.float32)
 
-    def pack(a):  # (B, Q, H, L, P) -> (B, n_tiles, L·H, P·QT)
-        if Qp != Q:
-            a = jnp.pad(a, [(0, 0), (0, Qp - Q)] + [(0, 0)] * 3)
-        a = a.reshape(B, n_tiles, q_tile, H, L, P)
-        a = a.transpose(0, 1, 4, 3, 5, 2)  # (B, T, L, H, P, QT)
-        return a.reshape(B, n_tiles, L * H, P * q_tile)
+    def pack(a, nd):  # (B, Qp, H·L·P·nd) -> (nd, B, n_tiles, L·H, P·QT)
+        a = a.reshape(B, n_tiles, q_tile, H, L, P, nd)
+        a = a.transpose(6, 0, 1, 4, 3, 5, 2)  # (nd, B, T, L, H, P, QT)
+        return a.reshape(nd, B, n_tiles, L * H, P * q_tile)
 
-    return pack(pxy[..., 0]), pack(pxy[..., 1]), pack(s)
+    # per-flat-index scale: even components x(w_l), odd y(h_l)
+    whv = np.empty(H * L * P * 2, np.float32)
+    fi = np.arange(H * L * P * 2)
+    l_of = (fi // (2 * P)) % L
+    wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+    whv[:] = wh[l_of, fi % 2]
+    pxy_flat = loc_flat.astype(jnp.float32) * whv[None, None] + 0.5
+    pxyk = pack(pxy_flat, 2)
+    ak = pack(attn_flat.astype(jnp.float32), 1)[0]
+
+    # per-packed-row (lvl·H + h) bound constants; broadcast over lanes
+    wv = np.repeat(np.array([w for h, w in spatial_shapes], np.float32), H)
+    hv = np.repeat(np.array([h for h, w in spatial_shapes], np.float32), H)
+    wv = wv.reshape(1, 1, L * H, 1)
+    hv = hv.reshape(1, 1, L * H, 1)
+    pxk, pyk = pxyk[0], pxyk[1]
+    inside = ((pxk > 0.0) & (pxk < wv + 1.0)
+              & (pyk > 0.0) & (pyk < hv + 1.0))
+    sk = ak * inside.astype(jnp.float32)
+    return pxyk, sk
 
 
 def _bounds_cols(pxs, spatial_shapes, q_tile, col_block, n_cb, B, H,
@@ -591,7 +622,15 @@ def _msda_kernel_pt2d(
     dispatch floor (~13.5 ms of the 32 ms call at base-SCA scale, ~75%
     of programs inactive) shrinks with the cap. Programs g >= cnt[b]
     write zeros into (inactive) tiles; inactive tiles beyond the cap are
-    never written — the caller masks them out in XLA."""
+    never written — the caller masks them out in XLA.
+
+    NEGATIVE RESULT (kept as a note so it isn't retried): row-chunking
+    the contraction ([rlo, rhi) row-chunk bounds per (tile, level),
+    pl.ds row slices, depth 64→24 at L0) measured 35→66 ms/frame — the
+    MXU matmul here is N-streaming-bound (PQT=1024 columns; time ≈
+    N + K pipeline cycles), so cutting contraction depth K saves almost
+    nothing while the dynamic sublane slices and nested fori_loop add
+    real overhead. Reducing matmul COUNT or N is what would pay."""
     if compact:
         tids_ref, cnt_ref, clo_ref, chi_ref = args[:4]
         refs = args[4:]
@@ -637,12 +676,12 @@ def _msda_kernel_pt2d(
             w_alls, pxs = [], []
             for hh in range(H):
                 r = lvl * H + hh
-                py = pyk_ref[0, 0, r:r + 1, :]   # (1, P·QT)
+                py = pyk_ref[0, 0, 0, r:r + 1, :]   # (1, P·QT)
                 s = sk_ref[0, 0, r:r + 1, :]
                 # s-folded row hat: s·relu(1 - |yc - py|)
                 w_alls.append(jnp.maximum(
                     s - jnp.abs(yc - py) * s, 0.0).astype(kdt))
-                pxs.append(pxk_ref[0, 0, r:r + 1, :])
+                pxs.append(pxk_ref[0, 0, 0, r:r + 1, :])
             # sublane → within-block column offset map (k = sublane // D),
             # shared by all heads and column blocks
             kcol = (jax.lax.broadcasted_iota(
@@ -722,10 +761,10 @@ def _msda_pallas_fwd_impl(
             _build_level_value_2dT(value, spatial_shapes, lvl, kdtype, 8, CB)
             for lvl in range(L)
         ]
-        pxk, pyk, sk = _pack_tile_major(
-            sampling_locations, attention_weights, spatial_shapes, QT, Qp)
+        pxyk, sk = _pack_tile_major(
+            loc, attn, spatial_shapes, H, P, QT)
         clo, chi = _bounds_cols(
-            pxk, spatial_shapes, QT, CB, n_cb, B, H, P, q_valid=Q)
+            pxyk[0], spatial_shapes, QT, CB, n_cb, B, H, P, q_valid=Q)
         _dbg = os.environ.get("MSDA_PT2D_DEBUG", "full")
         if _dbg == "nocb":
             chi = clo
@@ -756,14 +795,25 @@ def _msda_pallas_fwd_impl(
                 precision=jax.lax.Precision.DEFAULT if fast else None,
             )
             if compact:
-                pk_idx = lambda b, g, tids, cnt, lo, hi: (b, tids[b, g], 0, 0)
-                out_idx = lambda b, g, tids, cnt, lo, hi: (b, 0, 0,
-                                                           tids[b, g])
+                tile_of = lambda b, g, tids, *_: tids[b, g]
+                out_idx = lambda b, g, tids, *_: (b, 0, 0, tids[b, g])
             else:
-                pk_idx = lambda b, g, *_: (b, g, 0, 0)
+                tile_of = lambda b, g, *_: g
                 out_idx = lambda b, g, *_: (b, 0, 0, g)
-            pk_spec = pl.BlockSpec((1, 1, L * H, P * QT), pk_idx,
-                                   memory_space=pltpu.VMEM)
+            # px and py are dim-0 slots of the SAME pxyk buffer, addressed
+            # through the index map (no XLA slice copies)
+            px_spec = pl.BlockSpec(
+                (1, 1, 1, L * H, P * QT),
+                lambda b, g, *a: (0, b, tile_of(b, g, *a), 0, 0),
+                memory_space=pltpu.VMEM)
+            py_spec = pl.BlockSpec(
+                (1, 1, 1, L * H, P * QT),
+                lambda b, g, *a: (1, b, tile_of(b, g, *a), 0, 0),
+                memory_space=pltpu.VMEM)
+            sk_spec = pl.BlockSpec(
+                (1, 1, L * H, P * QT),
+                lambda b, g, *a: (b, tile_of(b, g, *a), 0, 0),
+                memory_space=pltpu.VMEM)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4 if compact else 3,
                 grid=(B, cap if compact else n_tiles_pre),
@@ -773,7 +823,7 @@ def _msda_pallas_fwd_impl(
                         (lambda b, g, *_: (b, 0, 0, 0, 0)),
                         memory_space=pltpu.VMEM)
                     for lvl in range(L)
-                ] + [pk_spec, pk_spec, pk_spec],
+                ] + [px_spec, py_spec, sk_spec],
                 out_specs=pl.BlockSpec((1, H, D, QT), out_idx,
                                        memory_space=pltpu.VMEM),
             )
@@ -803,15 +853,15 @@ def _msda_pallas_fwd_impl(
             out = jax.lax.cond(
                 jnp.max(cnt) <= cap,
                 lambda: pt2d_call(True, cap)(
-                    tids, cnt, clo, chi, *levels, pxk, pyk, sk),
+                    tids, cnt, clo, chi, *levels, pxyk, pxyk, sk),
                 lambda: pt2d_call(False)(
-                    clo, chi, tm, *levels, pxk, pyk, sk),
+                    clo, chi, tm, *levels, pxyk, pxyk, sk),
             )
             qmask = jnp.repeat(tm.astype(jnp.bool_), QT, axis=1)  # (B, Qp)
             out = jnp.where(qmask[:, None, None, :], out,
                             jnp.zeros((), out.dtype))
         else:
-            out = pt2d_call(False)(clo, chi, tm, *levels, pxk, pyk, sk)
+            out = pt2d_call(False)(clo, chi, tm, *levels, pxyk, pxyk, sk)
         return out.transpose(0, 3, 1, 2)[:, :Q].reshape(B, Q, H * D)
     if L > 1 and slab_rows is not None and not isinstance(slab_rows, int):
         # multi-level chunked path (base-scale SCA): per-level operand
@@ -1269,7 +1319,13 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights,
         value, spatial_shapes, sampling_locations, attention_weights,
         tile_mask=tile_mask, fast=fast, slab_rows=slab_rows, q_tile=q_tile,
     )
-    return out, (value, sampling_locations, attention_weights, tile_mask)
+    # residuals cross the custom_vjp boundary MATERIALIZED: save the flat
+    # (wide-minor) forms — a row-major (..., P, 2) buffer pads its minor
+    # dim 2 to 128 lanes under TPU tiling (64x memory; 31 GB at base-SCA
+    # scale), and (..., P) pads 16x
+    B, Q = sampling_locations.shape[:2]
+    return out, (value, sampling_locations.reshape(B, Q, -1),
+                 attention_weights.reshape(B, Q, -1), tile_mask)
 
 
 def _bwd(spatial_shapes, fast, slab_rows, q_tile, residuals, g):
@@ -1277,7 +1333,12 @@ def _bwd(spatial_shapes, fast, slab_rows, q_tile, residuals, g):
     # caller zeroes the output (and hence the cotangent) anyway.
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
 
-    value, sampling_locations, attention_weights, tile_mask = residuals
+    value, loc_flat, attn_flat, tile_mask = residuals
+    B, Q = loc_flat.shape[:2]
+    H, L = value.shape[2], len(spatial_shapes)
+    P = attn_flat.shape[-1] // (H * L)
+    sampling_locations = loc_flat.reshape(B, Q, H, L, P, 2)
+    attention_weights = attn_flat.reshape(B, Q, H, L, P)
     _, vjp = jax.vjp(
         lambda v, s, a: ms_deform_attn_xla(v, spatial_shapes, s, a),
         value, sampling_locations, attention_weights,
@@ -1313,7 +1374,11 @@ def _window_fwd(value, spatial_shapes, sampling_locations,
         value, spatial_shapes, sampling_locations, attention_weights,
         tile_mask=tile_mask, fast=fast, q_tile=q_tile,
     )
-    return out, (value, sampling_locations, attention_weights)
+    # flat residuals: see _fwd (narrow-minor buffers pad 16-64x when
+    # materialized across the vjp boundary)
+    B, Q = sampling_locations.shape[:2]
+    return out, (value, sampling_locations.reshape(B, Q, -1),
+                 attention_weights.reshape(B, Q, -1))
 
 
 def _window_bwd(spatial_shapes, fast, q_tile, residuals, g):
@@ -1321,7 +1386,12 @@ def _window_bwd(spatial_shapes, fast, q_tile, residuals, g):
     # far-outlier clamping is a forward-only saturation
     from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
 
-    value, sampling_locations, attention_weights = residuals
+    value, loc_flat, attn_flat = residuals
+    B, Q = loc_flat.shape[:2]
+    H, L = value.shape[2], len(spatial_shapes)
+    P = attn_flat.shape[-1] // (H * L)
+    sampling_locations = loc_flat.reshape(B, Q, H, L, P, 2)
+    attention_weights = attn_flat.reshape(B, Q, H, L, P)
     _, vjp = jax.vjp(
         lambda v, s, a: ms_deform_attn_xla(v, spatial_shapes, s, a),
         value, sampling_locations, attention_weights,

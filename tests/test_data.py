@@ -110,3 +110,37 @@ def test_pack_map_gt_shapes():
     assert gt["shift_pts"].shape == (4, 5, 6, 2)
     assert gt["mask"].tolist() == [True, False, False, False]
     assert gt["order_mask"][0, :2].all() and not gt["order_mask"][0, 2:].any()
+
+
+def test_boxes_to_occupancy_places_box():
+    """paint_gt occ GT: voxels inside a GT box carry its class at the
+    lidar voxelizer's (z*xdim + x)*ydim + y index convention."""
+    import dataclasses
+
+    import numpy as np
+
+    from apollo_vision_net_tpu import configs as cfglib
+    from apollo_vision_net_tpu.data.synthetic import _boxes_to_occupancy
+
+    cfg = cfglib.bev_smoke_det_occ()
+    m = cfg.model
+    pc = np.asarray(m.pc_range, np.float32)
+    # a box centered at a known voxel, axis-aligned
+    xd, yd, zd = m.occ_xdim, m.occ_ydim, m.occ_zdim
+    vsx, vsy, vsz = ((pc[3] - pc[0]) / xd, (pc[4] - pc[1]) / yd,
+                     (pc[5] - pc[2]) / zd)
+    xi, yi, zi = xd // 2, yd // 3, zd // 2
+    cx = pc[0] + (xi + 0.5) * vsx
+    cy = pc[1] + (yi + 0.5) * vsy
+    cz = pc[2] + (zi + 0.5) * vsz
+    box = np.array([[cx, cy, cz, vsy * 0.9, vsx * 0.9, vsz * 0.9, 0.0,
+                     0, 0]], np.float32)
+    dense = _boxes_to_occupancy(box, np.array([3]), m)
+    idx = (zi * xd + xi) * yd + yi
+    assert dense[idx] == 3
+    # tiny box -> only the one voxel (plus possible half-voxel neighbours)
+    occ_frac = (dense != m.occupancy_classes).mean()
+    assert occ_frac < 0.001
+    # empty boxes -> all empty
+    empty = _boxes_to_occupancy(np.zeros((0, 9)), np.zeros((0,)), m)
+    assert (empty == m.occupancy_classes).all()

@@ -101,3 +101,37 @@ def test_dla_s2d_stem_exact():
     for od, os_ in zip(outs_d, outs_s):
         np.testing.assert_allclose(np.asarray(od), np.asarray(os_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_tsa_block_perm_path_matches_row_major():
+    """The large-grid TSA block-reorder path (perm -> msda -> inv_perm) is
+    numerically identical to the row-major path — exercised on CPU where
+    both routes resolve to the exact XLA msda, so any mismatch is a bug in
+    the permutation plumbing itself. Grid 16x16 with q_tile=64 picks 8x8
+    spatial blocks (both dividing), the same selection the 200x200 base
+    BEV makes."""
+    from apollo_vision_net_tpu.models.attention import TemporalSelfAttention
+
+    bh = bw = 16
+    Q, B, C = bh * bw, 2, 32
+    rng = np.random.default_rng(3)
+    query = jnp.asarray(rng.standard_normal((B, Q, C)), jnp.float32)
+    value = jnp.asarray(rng.standard_normal((B, 2, Q, C)), jnp.float32)
+    qpos = jnp.asarray(rng.standard_normal((B, Q, C)), jnp.float32)
+    ys = (np.arange(bh) + 0.5) / bh
+    xs = (np.arange(bw) + 0.5) / bw
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    ref = np.stack([gx.reshape(-1), gy.reshape(-1)], -1)[None, None, :, None]
+    ref = jnp.asarray(np.tile(ref, (B, 2, 1, 1, 1)), jnp.float32)
+
+    outs = []
+    for qt in (64, 32):  # 64 -> block perm path, 32 -> row-major path
+        tsa = TemporalSelfAttention(embed_dims=C, num_heads=4, q_tile=qt)
+        params = tsa.init(
+            {"params": jax.random.PRNGKey(0)}, query, value,
+            query_pos=qpos, reference_points=ref,
+            spatial_shapes=((bh, bw),), deterministic=True)
+        outs.append(np.asarray(tsa.apply(
+            params, query, value, query_pos=qpos, reference_points=ref,
+            spatial_shapes=((bh, bw),), deterministic=True)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-5)

@@ -163,6 +163,61 @@ def main():
     if "sca" in ops:
         timed(sca_op, (sca_val, sca_loc, sca_attn, tile_mask,
                        jnp.zeros(())), n, "SCA msda (chunked kernel)")
+    if "scastack" in ops:
+        # encoder-shaped repro: 6 SCA calls inside lax.scan over per-layer
+        # weights, query carried through — the structure the full
+        # bev_base_occ graph wraps the kernel in (crash isolation harness)
+        C = m.embed_dims
+        wq = jnp.asarray(rng.standard_normal((6, 32, C)) * 0.02, jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((6, C, 32)) * 0.02, jnp.bfloat16)
+        q0 = jnp.asarray(rng.standard_normal((B * N, Q, 32)), jnp.bfloat16)
+
+        def sca_stack(q0, loc, attn, val, tm, eps):
+            def layer(q, w):
+                wq_l, wo_l = w
+                h = (q @ wq_l).astype(jnp.float32)  # (B*N, Q, C)
+                dloc = h[..., :1].reshape(B * N, Q, 1, 1, 1, 1) * 1e-5
+                out = ms_deform_attn(
+                    val, shapes, loc + dloc + eps * 1e-9, attn,
+                    impl="auto_fast", tile_mask=tm, slab_rows=sca_slab,
+                    q_tile=QT)
+                return (out @ wo_l).astype(q.dtype) + q, ()
+            q, _ = jax.lax.scan(layer, q0, (wq, wo))
+            return q
+
+        timed(sca_stack, (q0, sca_loc, sca_attn, sca_val, tile_mask,
+                          jnp.zeros(())), n, "SCA x6 scan-over-layers")
+    if "enclayers" in ops:
+        # closer repro: TSA (window kernel) + SCA (pt2d) per layer under
+        # scan-over-layers — the two Pallas kernels co-resident in one
+        # scan body, as the real encoder graph has them
+        C = m.embed_dims
+        wq = jnp.asarray(rng.standard_normal((6, 32, C)) * 0.02, jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((6, C, 32)) * 0.02, jnp.bfloat16)
+        q0 = jnp.asarray(rng.standard_normal((B * N, Q, 32)), jnp.bfloat16)
+
+        def enc_layers(q0, tval, tloc, tattn, loc, attn, val, tm, eps):
+            def layer(q, w):
+                wq_l, wo_l = w
+                h = (q @ wq_l).astype(jnp.float32)
+                tshift = h[:2, :, :1].reshape(2, Q, 1, 1, 1, 1) * 1e-6
+                t_out = ms_deform_attn(
+                    tval, ((bev_h, bev_w),), tloc + tshift + eps * 1e-9,
+                    tattn, impl="auto_fast", slab_rows=t_slab, q_tile=t_qt,
+                    window=True)
+                dloc = (h[..., :1].reshape(B * N, Q, 1, 1, 1, 1) * 1e-5
+                        + t_out[:1, :, :1].reshape(1, Q, 1, 1, 1, 1) * 1e-6)
+                out = ms_deform_attn(
+                    val, shapes, loc + dloc, attn,
+                    impl="auto_fast", tile_mask=tm, slab_rows=sca_slab,
+                    q_tile=QT)
+                return (out @ wo_l).astype(q.dtype) + q, ()
+            q, _ = jax.lax.scan(layer, q0, (wq, wo))
+            return q
+
+        timed(enc_layers, (q0, tsa_val, tsa_loc, tsa_attn, sca_loc,
+                           sca_attn, sca_val, tile_mask, jnp.zeros(())),
+              n, "TSA+SCA x6 scan-over-layers")
     if "tsa" in ops:
         timed(tsa_op, (tsa_val, tsa_loc, tsa_attn, jnp.zeros(())), n,
               "TSA msda (window kernel)")

@@ -48,7 +48,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", nargs="?", default="bev_tiny_det_map_apollo")
     ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--stages", default="full,bb,enc,head",
+                    help="comma list of stages to run (crash isolation)")
+    ap.add_argument("--trace", action="store_true",
+                    help="profile the (single) selected stage and print "
+                         "top device ops")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
 
     from apollo_vision_net_tpu import configs as cfglib
     from apollo_vision_net_tpu.data.synthetic import make_batch
@@ -76,8 +82,10 @@ def main():
             method=BEVFormer.forward_test_frame)
         return new_prev, outs["all_cls_scores"][-1].sum()
 
-    ms_full = timed_scan(full, prev0, args.frames, params)
-    print(f"full_step          {ms_full:8.3f} ms/frame   ({1e3/ms_full:.1f} fps)")
+    if "full" in stages:
+        ms_full = timed_scan(full, prev0, args.frames, params)
+        print(f"full_step          {ms_full:8.3f} ms/frame   "
+              f"({1e3/ms_full:.1f} fps)", flush=True)
 
     # ---- backbone+neck only ----
     def bb(p, carry, i):
@@ -86,8 +94,9 @@ def main():
         s = sum(f.sum() for f in feats)
         return carry + s * 1e-9, s
 
-    ms_bb = timed_scan(bb, jnp.zeros(()), args.frames, params)
-    print(f"backbone+neck      {ms_bb:8.3f} ms/frame")
+    if "bb" in stages:
+        ms_bb = timed_scan(bb, jnp.zeros(()), args.frames, params)
+        print(f"backbone+neck      {ms_bb:8.3f} ms/frame", flush=True)
 
     # ---- encoder only (BEV features from precomputed feats) ----
     feats0 = jax.jit(
@@ -103,8 +112,26 @@ def main():
             method=lambda m, *a, **k: m.head(*a, **k))
         return bev, bev.sum()
 
-    ms_enc = timed_scan(enc, prev0, args.frames, params)
-    print(f"encoder (bev)      {ms_enc:8.3f} ms/frame")
+    if "enc" in stages:
+        ms_enc = timed_scan(enc, prev0, args.frames, params)
+        print(f"encoder (bev)      {ms_enc:8.3f} ms/frame", flush=True)
+        if args.trace:
+            from tools.profile_step import trace_and_report
+
+            @jax.jit
+            def run_enc(p, carry):
+                def body(carry, i):
+                    carry, s = enc(p, carry, i)
+                    return carry, s
+                carry, sums = jax.lax.scan(
+                    body, carry, jnp.arange(args.frames))
+                return carry, sums.sum()
+
+            def traced():
+                c, s = run_enc(params, prev0)
+                float(s)
+            traced()
+            trace_and_report(traced, args.frames)
 
     # ---- full head (encoder + decoders) from precomputed feats ----
     def head_full(p, prev, i):
@@ -115,10 +142,14 @@ def main():
             method=lambda m, *a, **k: m.head(*a, **k))
         return outs["bev_embed"], outs["all_cls_scores"][-1].sum()
 
-    ms_head = timed_scan(head_full, prev0, args.frames, params)
-    print(f"encoder+decoders   {ms_head:8.3f} ms/frame")
-    print(f"  -> decoders+branches ~ {ms_head - ms_enc:8.3f} ms/frame")
-    print(f"residual (full - bb - head) ~ {ms_full - ms_bb - ms_head:8.3f} ms/frame")
+    if "head" in stages:
+        ms_head = timed_scan(head_full, prev0, args.frames, params)
+        print(f"encoder+decoders   {ms_head:8.3f} ms/frame", flush=True)
+        if "enc" in stages:
+            print(f"  -> decoders+branches ~ {ms_head - ms_enc:8.3f} ms/frame")
+    if stages >= {"full", "bb", "head"}:
+        print(f"residual (full - bb - head) ~ "
+              f"{ms_full - ms_bb - ms_head:8.3f} ms/frame")
 
 
 if __name__ == "__main__":

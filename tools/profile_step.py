@@ -52,12 +52,21 @@ def main():
     prev, s = run_stream(params, img, can_bus, lidar2img, prev0, has_prev)
     float(s)
 
+    def traced():
+        prev2, s2 = run_stream(params, img, can_bus, lidar2img, prev,
+                               has_prev)
+        float(s2)
+
+    trace_and_report(traced, args.frames, args.top)
+
+
+def trace_and_report(fn, n_frames, top=40):
+    """Run fn under jax.profiler.trace and print top device ops by self
+    time (shared by tools/bench_stages.py --trace)."""
     tdir = "/tmp/jax_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
-        prev, s = run_stream(params, img, can_bus, lidar2img, prev,
-                             has_prev)
-        float(s)
+        fn()
 
     # parse the xplane proto
     from jax._src.profiler import ProfileData
@@ -79,10 +88,10 @@ def main():
                 name = ev.name
                 per_op[name] += dur
                 total += dur
-    print(f"total device-op time: {total/1e3:.3f} ms over {args.frames} frames "
-          f"({total/1e3/args.frames:.3f} ms/frame)")
-    for name, us in per_op.most_common(args.top):
-        print(f"{us/args.frames:10.1f} us/frame  {us/total*100:5.1f}%  {name[:110]}")
+    print(f"total device-op time: {total/1e3:.3f} ms over {n_frames} frames "
+          f"({total/1e3/n_frames:.3f} ms/frame)")
+    for name, us in per_op.most_common(top):
+        print(f"{us/n_frames:10.1f} us/frame  {us/total*100:5.1f}%  {name[:110]}")
 
 
 if __name__ == "__main__":
