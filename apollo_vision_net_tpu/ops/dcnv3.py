@@ -76,6 +76,7 @@ def modulated_deform_conv(
     stride: int = 1,
     impl: str = "auto",
     slab_rows: int | None = None,
+    q_tile: int | None = None,
 ) -> jnp.ndarray:
     """DCNv2 (modulated deformable convolution), 'same' padding — the op
     mmdet's ResNet-DCN uses for the R101 'base' configs. ``offset``/``mask``
@@ -113,12 +114,19 @@ def modulated_deform_conv(
     z = (x.reshape(B, H * W, C) @ weight.transpose(1, 0, 2).reshape(C, K * O)
          ).reshape(B, H * W, K, O)
 
+    if q_tile is None:
+        # larger tiles than the attention defaults: the DCN grids are
+        # small (30x50 at R101 stage 3) and 26 blocks dispatch per frame,
+        # so the per-program floor dominates — fewer, bigger programs win
+        import os
+
+        q_tile = int(os.environ.get("MSDA_DCN_QT", "128"))
     if slab_rows is None:
-        # queries are row-major over the output grid: a 128-query tile
-        # spans ceil(128/Wo) output rows = stride x that in input rows;
+        # queries are row-major over the output grid: a q_tile-query tile
+        # spans ceil(q_tile/Wo) output rows = stride x that in input rows;
         # learned offsets reach a few more (outliers take the kernel's
         # exact full-width fallback)
-        slab_rows = stride * ((128 + Wo - 1) // Wo + 1) + 6
+        slab_rows = stride * ((q_tile + Wo - 1) // Wo + 1) + 6
 
     ys, xs = np.meshgrid(np.arange(Ho, dtype=np.float32) * stride,
                          np.arange(Wo, dtype=np.float32) * stride,
@@ -133,5 +141,5 @@ def modulated_deform_conv(
     locs = ((pos.astype(jnp.float32) + 0.5) / norm)[:, :, :, None, None, :]
     attn = mask.reshape(B, Q, K, 1, 1).astype(jnp.float32)
     out = ms_deform_attn(z, ((H, W),), locs, attn, impl=impl,
-                         slab_rows=slab_rows)  # (B, Q, K*O)
+                         slab_rows=slab_rows, q_tile=q_tile)  # (B, Q, K*O)
     return out.reshape(B, Q, K, O).sum(2).reshape(B, Ho, Wo, O)

@@ -475,13 +475,19 @@ def _build_level_value_2dT(value, spatial_shapes, lvl, dtype, row_align,
     hp, wp = h + 2, w + 2
     hp_pad = -(-hp // row_align) * row_align
     n_cb = -(-wp // col_block)
+    # ONE transpose (pad fuses into its input, the (CB, D) merge into its
+    # output): the head-major two-transpose form materialized an extra
+    # full-size copy per (level, layer) — this build runs inside every
+    # encoder layer (value_proj is per-layer), so the copies were ~12% of
+    # the base-config frame
     v = jax.lax.slice_in_dim(
         value, int(starts[lvl]), int(starts[lvl + 1]), axis=1
-    ).reshape(B, h, w, H, D).transpose(0, 3, 1, 2, 4)  # (B,H,h,w,D)
-    v = jnp.pad(v, [(0, 0), (0, 0), (1, hp_pad - hp + 1),
-                    (1, n_cb * col_block - wp + 1), (0, 0)])
-    v = v.reshape(B, H, hp_pad, n_cb, col_block * D)
-    return v.transpose(0, 1, 3, 2, 4)  # (B, H, n_cb, hp_pad, CB·D)
+    ).reshape(B, h, w, H, D)
+    v = jnp.pad(v, [(0, 0), (1, hp_pad - hp + 1),
+                    (1, n_cb * col_block - wp + 1), (0, 0), (0, 0)])
+    v = v.reshape(B, hp_pad, n_cb, col_block, H, D)
+    v = v.transpose(0, 4, 2, 1, 3, 5)  # (B, H, n_cb, hp_pad, CB, D)
+    return v.reshape(B, H, n_cb, hp_pad, col_block * D)
 
 
 def _pack_tile_major(loc_flat, attn_flat, spatial_shapes, num_heads,
@@ -538,7 +544,10 @@ def _pack_tile_major(loc_flat, attn_flat, spatial_shapes, num_heads,
     whv[:] = wh[l_of, fi % 2]
     pxy_flat = loc_flat.astype(jnp.float32) * whv[None, None] + 0.5
     pxyk = pack(pxy_flat, 2)
-    ak = pack(attn_flat.astype(jnp.float32), 1)[0]
+    # attention rides in its caller dtype (bf16 in fast mode — halves the
+    # sk buffer + its kernel DMA; coords stay f32: bf16 would quantize a
+    # padded 100-grid coordinate by ~0.4 cell)
+    ak = pack(attn_flat, 1)[0]
 
     # per-packed-row (lvl·H + h) bound constants; broadcast over lanes
     wv = np.repeat(np.array([w for h, w in spatial_shapes], np.float32), H)
@@ -548,35 +557,26 @@ def _pack_tile_major(loc_flat, attn_flat, spatial_shapes, num_heads,
     pxk, pyk = pxyk[0], pxyk[1]
     inside = ((pxk > 0.0) & (pxk < wv + 1.0)
               & (pyk > 0.0) & (pyk < hv + 1.0))
-    sk = ak * inside.astype(jnp.float32)
+    sk = ak * inside.astype(ak.dtype)
     return pxyk, sk
 
 
 def _bounds_cols(pxs, spatial_shapes, q_tile, col_block, n_cb, B, H,
-                 num_points, q_valid=None):
+                 num_points):
     """Per-(level, batch, tile) [lo, hi) col-block bounds covering the
     tile's bilinear support (exact coverage: padded corner col =
     clip(floor(px), 0, w), support = {col, col+1}). Operates on the
-    tile-major packed coords from _pack_tile_major."""
+    tile-major packed coords from _pack_tile_major; tail queries need no
+    masking — the caller EDGE-pads locations, so padded samples mirror
+    the last real query instead of dragging the bounds to the origin."""
     L = len(spatial_shapes)
     B_, n_tiles, LH, PQT = pxs.shape
-    P = num_points
     px = pxs.reshape(B, n_tiles, L, H, PQT)
-    tail = None
-    if q_valid is not None:
-        qt_of_lane = jnp.arange(PQT) % q_tile
-        tile_base = jnp.arange(n_tiles) * q_tile
-        tail = (tile_base[:, None] + qt_of_lane[None, :]) < q_valid
-        tail = tail[None, :, None]  # (1, T, 1, PQT)
     clo, chi = [], []
     for lvl, (h, w) in enumerate(spatial_shapes):
         x0 = jnp.clip(jnp.floor(px[:, :, lvl]).astype(jnp.int32), 0, w)
-        if tail is not None:
-            cmin = jnp.where(tail, x0, w + 1).min(axis=(2, 3))
-            cmax = jnp.where(tail, x0, -1).max(axis=(2, 3)) + 1
-        else:
-            cmin = x0.min(axis=(2, 3))
-            cmax = x0.max(axis=(2, 3)) + 1
+        cmin = x0.min(axis=(2, 3))
+        cmax = x0.max(axis=(2, 3)) + 1
         clo.append(jnp.clip(cmin // col_block, 0, n_cb[lvl]).astype(jnp.int32))
         chi.append(jnp.clip(-(-(cmax + 1) // col_block), 0,
                             n_cb[lvl]).astype(jnp.int32))
@@ -740,7 +740,12 @@ def _msda_pallas_fwd_impl(
     loc = sampling_locations.reshape(B, Q, H * L * P * 2)
     attn = attention_weights.reshape(B, Q, H * L * P)
     if Qp != Q:
-        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)])
+        # EDGE-pad the tail locations (attention pads zero, so padded
+        # queries contribute nothing): zero-padding put px=py=0.5 on the
+        # tail, dragging every extent/bounds computation toward the
+        # origin — replicating the last real query keeps the tail tile's
+        # bounds tight without q_valid masking
+        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)], mode="edge")
         attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
     kdtype = jnp.bfloat16 if fast else jnp.float32
     align = 16 if kdtype == jnp.bfloat16 else 8
@@ -761,11 +766,16 @@ def _msda_pallas_fwd_impl(
             _build_level_value_2dT(value, spatial_shapes, lvl, kdtype, 8, CB)
             for lvl in range(L)
         ]
-        pxyk, sk = _pack_tile_major(
-            loc, attn, spatial_shapes, H, P, QT)
-        clo, chi = _bounds_cols(
-            pxyk[0], spatial_shapes, QT, CB, n_cb, B, H, P, q_valid=Q)
         _dbg = os.environ.get("MSDA_PT2D_DEBUG", "full")
+
+        # NEGATIVE RESULT: gathering the served tiles and packing only
+        # them (pack volume × cap_frac) measured 42 → 48 ms/call — the
+        # gather breaks the pad/scale → pack-transpose fusion, adding a
+        # full extra pass over the flat operands that outweighs the
+        # halved pack. Pack stays full-size, fused.
+        pxyk, sk = _pack_tile_major(loc, attn, spatial_shapes, H, P, QT)
+        clo, chi = _bounds_cols(
+            pxyk[0], spatial_shapes, QT, CB, n_cb, B, H, P)
         if _dbg == "nocb":
             chi = clo
         tm = (tile_mask.astype(jnp.int32) if tile_mask is not None
@@ -850,6 +860,7 @@ def _msda_pallas_fwd_impl(
             order = jnp.argsort((tm == 0).astype(jnp.int32), axis=1,
                                 stable=True).astype(jnp.int32)
             tids = order[:, :cap]
+
             out = jax.lax.cond(
                 jnp.max(cnt) <= cap,
                 lambda: pt2d_call(True, cap)(
