@@ -297,6 +297,24 @@ def bev_base_occ() -> ExperimentConfig:
     )
 
 
+def bev_base_det_map() -> ExperimentConfig:
+    """Base-scale det+map analog (VERDICT r2 #2): the reference's headline
+    det+map closed loop (bev_tiny_det_map_apollo.py heads) at BEVFormer-base
+    trunk scale (bev_base_occ.py:~60 — R101 DCN stages 3-4, 200×200 BEV,
+    4 feature levels, 6 encoder layers)."""
+    return ExperimentConfig(
+        name="bev_base_det_map",
+        model=ModelConfig(
+            bev_h=200, bev_w=200, backbone_depth=101,
+            backbone_dcn_stages=(False, False, True, True),
+            backbone_out_indices=(1, 2, 3), num_feature_levels=4,
+            encoder_layers=6, with_map=True,
+            msda_impl="auto_fast",
+        ),
+        compute_dtype="bfloat16",
+    )
+
+
 def bev_tiny_det_occ() -> ExperimentConfig:
     """projects/configs/bevformer/bev_tiny_det_occ.py — R50 det+occ
     (non-Apollo: MLP occ lift, no group-DETR)."""

@@ -17,7 +17,7 @@ FULL_SIZE_CONFIGS = [
     "bev_tiny_det", "bev_tiny_det_occ", "bev_tiny_occ",
     "bev_tiny_det_occ_apollo", "bev_tiny_det_map_apollo",
     "bev_tiny_det_mapv2", "bev_tiny_det_occ_flow",
-    "bev_base_occ", "voxel_tiny_occ", "hybrid_tiny_occ",
+    "bev_base_occ", "bev_base_det_map", "voxel_tiny_occ", "hybrid_tiny_occ",
     "voxel_base_occ", "hybrid_base_occ",
     "bev_tiny_occ_intern_s", "bev_base_occ_intern_s",
     "hybrid_tiny_occ_intern_s", "semantic_kitti_occ",
