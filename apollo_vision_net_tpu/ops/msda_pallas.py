@@ -561,6 +561,82 @@ def _pack_tile_major(loc_flat, attn_flat, spatial_shapes, num_heads,
     return pxyk, sk
 
 
+def _pack_tile_major_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
+                              num_heads, num_points, q_tile):
+    """Factored-operand variant of ``_pack_tile_major`` (same outputs).
+
+    SCA's sampling locations are ``loc = ref_cam + offsets / wh`` where the
+    reference points are PER CAMERA (batch dim B = Bq·num_cams, but only
+    P·2 wide) and the offsets/attention are CAMERA-INVARIANT (predicted
+    from the shared BEV query, batch dim Bs = Bq). The unfactored pack
+    transposes the materialized per-camera (B, Qp, H·L·P·2) f32 buffer —
+    at base-SCA scale ~0.5 GB of layout copies per encoder layer, ~75
+    ms/frame traced. Here the transpose runs on the Bs-sized offsets (1/6)
+    and the P·2-wide refs (1/32), and the full-size packed buffer is
+    written ONCE by the fused broadcast ``ref·wh_l + off + 0.5``.
+
+    ref_flat (B, Qp, P·2): z-repeated [0,1] reference points, flat (p, c)
+    minor. off_flat (Bs, Qp, H·L·P·2): RAW-CELL offsets (the Dense output —
+    already in grid cells of each level, no 1/wh normalization). attn_flat
+    (Bs, Qp, H·L·P): softmaxed weights in their ride dtype. Bs ∈ {1, B}.
+
+    Returns (pxyk, sk) exactly as ``_pack_tile_major``: pxyk
+    (2, B, n_tiles, L·H, P·QT) padded-grid pixel coords, sk
+    (B, n_tiles, L·H, P·QT) attention · inside."""
+    B, Qp, P2 = ref_flat.shape
+    H, P, L = num_heads, num_points, len(spatial_shapes)
+    assert P2 == P * 2, (P2, P)
+    n_tiles = Qp // q_tile
+
+    def pack(a, nd):  # (Bs, Qp, H·L·P·nd) -> (nd, Bs, T, L·H, P·QT)
+        bs = a.shape[0]
+        a = a.reshape(bs, n_tiles, q_tile, H, L, P, nd)
+        a = a.transpose(6, 0, 1, 4, 3, 5, 2)
+        return a.reshape(nd, bs, n_tiles, L * H, P * q_tile)
+
+    # refs: QT stays minor through the whole pack (cheap small transpose)
+    r = ref_flat.astype(jnp.float32).reshape(B, n_tiles, q_tile, P, 2)
+    ref_pack = r.transpose(4, 0, 1, 3, 2).reshape(2, B, n_tiles, P * q_tile)
+
+    off_pack = pack(off_flat.astype(jnp.float32), 2)
+
+    # per-row (r = lvl·H + h) pixel scale wh[l, c]
+    wxy = np.array([[w, h] for h, w in spatial_shapes], np.float32)  # (L, 2)
+    scale = np.repeat(wxy, H, axis=0).T.reshape(2, 1, 1, L * H, 1)
+    pxyk = (ref_pack[:, :, :, None, :] * jnp.asarray(scale)
+            + off_pack + 0.5)  # (2, B, T, L·H, P·QT) — broadcasts Bs -> B
+
+    ak = pack(attn_flat, 1)[0]  # (Bs, T, L·H, P·QT)
+    wv = np.repeat(np.array([w for h, w in spatial_shapes], np.float32), H)
+    hv = np.repeat(np.array([h for h, w in spatial_shapes], np.float32), H)
+    wv = wv.reshape(1, 1, L * H, 1)
+    hv = hv.reshape(1, 1, L * H, 1)
+    pxk, pyk = pxyk[0], pxyk[1]
+    inside = ((pxk > 0.0) & (pxk < wv + 1.0)
+              & (pyk > 0.0) & (pyk < hv + 1.0))
+    sk = ak * inside.astype(ak.dtype)  # broadcasts Bs -> B
+    return pxyk, sk
+
+
+def _materialize_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
+                          num_heads, num_points):
+    """Factored operands -> the flat (B, Qp, H·L·P·2)/(B, Qp, H·L·P)
+    loc/attn the non-pt2d paths (slab/chunk kernels, XLA fallback)
+    consume. Exact: ``tile`` replicates ref[p % Dz] per (head, level)
+    block (the flat layout is (h, l, p, c) minor-last) and the per-index
+    1/wh constant matches the caller-side normalization."""
+    B, Qp, _ = ref_flat.shape
+    H, P, L = num_heads, num_points, len(spatial_shapes)
+    fi = np.arange(H * L * P * 2)
+    l_of = (fi // (2 * P)) % L
+    wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)
+    inv = (1.0 / wh[l_of, fi % 2]).astype(np.float32)
+    loc = (jnp.tile(ref_flat.astype(jnp.float32), (1, 1, H * L))
+           + off_flat.astype(jnp.float32) * jnp.asarray(inv)[None, None])
+    attn = jnp.broadcast_to(attn_flat, (B, Qp, H * L * P))
+    return loc, attn
+
+
 def _bounds_cols(pxs, spatial_shapes, q_tile, col_block, n_cb, B, H,
                  num_points):
     """Per-(level, batch, tile) [lo, hi) col-block bounds covering the
@@ -723,10 +799,23 @@ def _msda_kernel_pt2d(
 def _msda_pallas_fwd_impl(
     value, spatial_shapes, sampling_locations, attention_weights, *,
     interpret=False, q_tile=128, tile_mask=None, fast=False, slab_rows=None,
+    factored=None,
 ):
+    """factored: optional (ref_flat (B, Q, P·2), off_flat (Bs, Q, H·L·P·2)
+    raw-cell offsets, attn_flat (Bs, Q, H·L·P)) replacing sampling_locations
+    / attention_weights (pass those as None). The pt2d path packs the
+    factored forms directly (see _pack_tile_major_factored); other paths
+    materialize the flat loc/attn first — identical math either way."""
     precision = jax.lax.Precision.DEFAULT if fast else None
     B, V, H, D = value.shape
-    _, Q, _, L, P, _ = sampling_locations.shape
+    L = len(spatial_shapes)
+    if factored is not None:
+        ref_flat, off_flat, attn_flat_f = factored
+        Q = ref_flat.shape[1]
+        P = ref_flat.shape[-1] // 2
+        assert off_flat.shape[-1] == H * L * P * 2, (off_flat.shape, H, L, P)
+    else:
+        _, Q, _, L, P, _ = sampling_locations.shape
     QT = q_tile
     Qp = ((Q + QT - 1) // QT) * QT
     # loc/attn keep their NATURAL (B, Q, H·L·P·…) flat layout: no host-side
@@ -735,24 +824,45 @@ def _msda_pallas_fwd_impl(
     # fast mode: attention weights ride in bf16 (softmax outputs in [0,1] —
     # 8 mantissa bits ≈ 0.4% rel err). Locations stay f32: bf16 would
     # quantize a 50-grid coordinate by ~0.4 cell.
-    if fast:
-        attention_weights = attention_weights.astype(jnp.bfloat16)
-    loc = sampling_locations.reshape(B, Q, H * L * P * 2)
-    attn = attention_weights.reshape(B, Q, H * L * P)
-    if Qp != Q:
-        # EDGE-pad the tail locations (attention pads zero, so padded
-        # queries contribute nothing): zero-padding put px=py=0.5 on the
-        # tail, dragging every extent/bounds computation toward the
-        # origin — replicating the last real query keeps the tail tile's
-        # bounds tight without q_valid masking
-        loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)], mode="edge")
-        attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
+    use_pt2d = (
+        L > 1 and slab_rows is not None and not isinstance(slab_rows, int)
+        and (QT % 128 == 0 or Qp == QT)  # out block: QT rides in lanes
+        and os.environ.get("MSDA_ML_KERNEL", "pt2d") == "pt2d")
+    packed = None
+    if factored is not None:
+        if fast:
+            attn_flat_f = attn_flat_f.astype(jnp.bfloat16)
+        if Qp != Q:
+            # EDGE-pad (see the unfactored branch below for why)
+            ref_flat = jnp.pad(ref_flat, [(0, 0), (0, Qp - Q), (0, 0)],
+                               mode="edge")
+            off_flat = jnp.pad(off_flat, [(0, 0), (0, Qp - Q), (0, 0)],
+                               mode="edge")
+            attn_flat_f = jnp.pad(attn_flat_f, [(0, 0), (0, Qp - Q), (0, 0)])
+        if use_pt2d:
+            packed = _pack_tile_major_factored(
+                ref_flat, off_flat, attn_flat_f, spatial_shapes, H, P, QT)
+            loc = attn = None
+        else:
+            loc, attn = _materialize_factored(
+                ref_flat, off_flat, attn_flat_f, spatial_shapes, H, P)
+    else:
+        if fast:
+            attention_weights = attention_weights.astype(jnp.bfloat16)
+        loc = sampling_locations.reshape(B, Q, H * L * P * 2)
+        attn = attention_weights.reshape(B, Q, H * L * P)
+        if Qp != Q:
+            # EDGE-pad the tail locations (attention pads zero, so padded
+            # queries contribute nothing): zero-padding put px=py=0.5 on the
+            # tail, dragging every extent/bounds computation toward the
+            # origin — replicating the last real query keeps the tail tile's
+            # bounds tight without q_valid masking
+            loc = jnp.pad(loc, [(0, 0), (0, Qp - Q), (0, 0)], mode="edge")
+            attn = jnp.pad(attn, [(0, 0), (0, Qp - Q), (0, 0)])
     kdtype = jnp.bfloat16 if fast else jnp.float32
     align = 16 if kdtype == jnp.bfloat16 else 8
     n_tiles_pre = Qp // QT
-    if (L > 1 and slab_rows is not None and not isinstance(slab_rows, int)
-            and (QT % 128 == 0 or Qp == QT)  # out block: QT rides in lanes
-            and os.environ.get("MSDA_ML_KERNEL", "pt2d") == "pt2d"):
+    if use_pt2d:
         # multi-level point-stacked transposed path (base-scale SCA):
         # MXU row-hat contraction + one-multiply column post-weights,
         # [lo, hi) col-block bounds per (tile, level) — always exact.
