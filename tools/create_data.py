@@ -6,9 +6,9 @@ Parity: tools/create_data.py + tools/data_converter/nuscenes_converter.py
 messages, per-camera sensor2lidar extrinsics + intrinsics, annotations,
 map_location and scene metadata, sorted by timestamp.
 
-Requires the nuscenes devkit (not installed in CI); the module import-gates
-it and documents the exact schema produced so `data/infos.py` can consume
-pkls generated elsewhere.
+Devkit-free: `data/nusc_tables.py` reads the raw v1.0 JSON tables and
+can_bus blobs directly, so the converter runs (and is tested against a
+fake table dump, tests/test_nusc_tables.py) in any environment.
 """
 import argparse
 import os
@@ -25,34 +25,48 @@ CAMS = (
 )
 
 
-def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
-    try:
-        from nuscenes.nuscenes import NuScenes
-        from nuscenes.can_bus.can_bus_api import NuScenesCanBus
-        from nuscenes.utils import splits
-    except ImportError as e:  # pragma: no cover
-        raise SystemExit(
-            "nuscenes devkit is required for data conversion: pip install "
-            "nuscenes-devkit (not available in this environment)") from e
+def create_nuscenes_infos(root_path: str, version: str, out_dir: str,
+                          splits_json: str = ""):
+    """Devkit-free: drives data/nusc_tables.py over the raw v1.0 JSON
+    tables + can_bus blobs (reference nuscenes_converter.py:29-225 drives
+    the devkit over the same files — identical schema out)."""
+    from apollo_vision_net_tpu.data.infos import (
+        DETECTION_NAME_MAP,
+        quat_to_rot,
+    )
+    from apollo_vision_net_tpu.data.nusc_tables import (
+        NuScenesTables,
+        resolve_splits,
+    )
 
-    nusc = NuScenes(version=version, dataroot=root_path, verbose=True)
-    can_bus = NuScenesCanBus(dataroot=root_path)
+    nusc = NuScenesTables(dataroot=root_path, version=version, verbose=True)
+
+    def rt(rot, tr):
+        m = np.eye(4)
+        m[:3, :3] = quat_to_rot(rot)
+        m[:3, 3] = tr
+        return m
 
     def get_can_bus(sample):
-        # reference nuscenes_converter.py:153-175
+        # reference nuscenes_converter.py:153-175: last pose message at or
+        # before the sample timestamp; zeros for scenes without CAN data.
+        # (The reference extends the trailing accel/rotation_rate/vel from
+        # the loop-escaped `pose` variable — an off-by-one it never hits in
+        # practice since messages are ~10 ms apart; we read `last`
+        # consistently.)
         scene_name = nusc.get("scene", sample["scene_token"])["name"]
         ts = sample["timestamp"]
         try:
-            pose_list = can_bus.get_messages(scene_name, "pose")
-        except Exception:
+            pose_list = nusc.get_can_bus_pose(scene_name)
+        except (FileNotFoundError, OSError):
             return np.zeros(18, np.float32)
-        last = None
+        if not pose_list:
+            return np.zeros(18, np.float32)
+        last = pose_list[0]
         for pose in pose_list:
             if pose["utime"] > ts:
                 break
             last = pose
-        if last is None:
-            return np.zeros(18, np.float32)
         rec = []
         rec.extend(last["pos"])
         rec.extend(last["orientation"])
@@ -82,62 +96,46 @@ def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
             ego2global_rotation=pose["rotation"],
             cams={},
         )
+        l2e = rt(cs["rotation"], cs["translation"])
+        e2g = rt(pose["rotation"], pose["translation"])
         for cam in CAMS:
             sd = nusc.get("sample_data", sample["data"][cam])
             ccs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
             cpose = nusc.get("ego_pose", sd["ego_pose_token"])
-            # sensor->lidar at the lidar timestamp (converter obtain_sensor2top)
-            import numpy.linalg as la
-
-            def rt(rot, tr):
-                from apollo_vision_net_tpu.data.infos import quat_to_rot
-                m = np.eye(4)
-                m[:3, :3] = quat_to_rot(rot)
-                m[:3, 3] = tr
-                return m
-
-            l2e = rt(cs["rotation"], cs["translation"])
-            e2g = rt(pose["rotation"], pose["translation"])
+            # sensor->lidar at the lidar timestamp (converter
+            # obtain_sensor2top): cam->cam_ego->global->lidar_ego->lidar
             c2e = rt(ccs["rotation"], ccs["translation"])
             ce2g = rt(cpose["rotation"], cpose["translation"])
-            cam2lidar = la.inv(l2e) @ la.inv(e2g) @ ce2g @ c2e
+            cam2lidar = np.linalg.inv(l2e) @ np.linalg.inv(e2g) @ ce2g @ c2e
             info["cams"][cam] = dict(
                 data_path=sd["filename"],
                 cam_intrinsic=np.asarray(ccs["camera_intrinsic"]),
                 sensor2lidar_rotation=cam2lidar[:3, :3],
                 sensor2lidar_translation=cam2lidar[:3, 3],
             )
-        anns = [nusc.get("sample_annotation", t) for t in sample["anns"]]
-        boxes = nusc.get_boxes(sample["data"]["LIDAR_TOP"])
-        gt = []
-        names = []
-        vels = []
-        valid = []
-        vis = []
-        ann_tokens = []
-        from apollo_vision_net_tpu.data.infos import DETECTION_NAME_MAP
-        for ann, box in zip(anns, boxes):
-            if ann["category_name"] not in DETECTION_NAME_MAP:
+        # keyframe boxes ARE the annotations (devkit get_boxes on a
+        # keyframe sample_data returns one Box per annotation, global
+        # frame); transform to the lidar frame exactly as the reference
+        g2l = np.linalg.inv(e2g @ l2e)
+        ego_yaw = np.arctan2(e2g[1, 0], e2g[0, 0])
+        gt, names, vels, valid, vis, ann_tokens = [], [], [], [], [], []
+        for t in sample["anns"]:
+            ann = nusc.get("sample_annotation", t)
+            if ann.get("category_name", "") not in DETECTION_NAME_MAP:
                 continue
-            l2e_m = np.eye(4)
-            from apollo_vision_net_tpu.data.infos import quat_to_rot
-            l2e_m[:3, :3] = quat_to_rot(cs["rotation"])
-            l2e_m[:3, 3] = cs["translation"]
-            e2g_m = np.eye(4)
-            e2g_m[:3, :3] = quat_to_rot(pose["rotation"])
-            e2g_m[:3, 3] = pose["translation"]
-            g2l = np.linalg.inv(e2g_m @ l2e_m)
-            c = g2l[:3, :3] @ box.center + g2l[:3, 3]
-            yaw = box.orientation.yaw_pitch_roll[0] - np.arctan2(
-                e2g_m[1, 0], e2g_m[0, 0])
-            gt.append([c[0], c[1], c[2] - box.wlh[2] / 2,
-                       box.wlh[0], box.wlh[1], box.wlh[2], yaw])
+            center = np.asarray(ann["translation"], np.float64)
+            w, l, h = ann["size"]
+            rot = quat_to_rot(ann["rotation"])
+            yaw_g = np.arctan2(rot[1, 0], rot[0, 0])
+            c = g2l[:3, :3] @ center + g2l[:3, 3]
+            yaw = yaw_g - ego_yaw
+            gt.append([c[0], c[1], c[2] - h / 2, w, l, h, yaw])
             names.append(DETECTION_NAME_MAP[ann["category_name"]])
-            v = nusc.box_velocity(ann["token"])[:2]
+            v = nusc.box_velocity(t)[:2]
             vels.append(np.nan_to_num(v))
             valid.append(ann["num_lidar_pts"] + ann["num_radar_pts"] > 0)
             vis.append(ann.get("visibility_token", ""))
-            ann_tokens.append(ann["token"])
+            ann_tokens.append(t)
         info["gt_boxes"] = np.asarray(gt, np.float32).reshape(-1, 7)
         info["gt_names"] = np.asarray(names)
         info["gt_velocity"] = np.asarray(vels, np.float32).reshape(-1, 2)
@@ -147,11 +145,13 @@ def create_nuscenes_infos(root_path: str, version: str, out_dir: str):
         info["gt_ann_tokens"] = np.asarray(ann_tokens)
         infos.append(info)
 
-    train_scenes = set(splits.train if "trainval" in version else splits.mini_train)
-    train = [i for i in infos
-             if nusc.get("scene", i["scene_token"])["name"] in train_scenes]
-    val = [i for i in infos
-           if nusc.get("scene", i["scene_token"])["name"] not in train_scenes]
+    infos.sort(key=lambda i: i["timestamp"])
+    split_sets = resolve_splits(version, splits_json)
+    train = [i for i in infos if i["scene_name"] in split_sets["train"]]
+    val = [i for i in infos if i["scene_name"] in split_sets["val"]]
+    leftover = len(infos) - len(train) - len(val)
+    if leftover:
+        print(f"warning: {leftover} samples in scenes outside both splits")
     os.makedirs(out_dir, exist_ok=True)
     for split, data in (("train", train), ("val", val)):
         out = os.path.join(out_dir, f"nuscenes_infos_temporal_{split}.pkl")
@@ -273,6 +273,9 @@ if __name__ == "__main__":
     p.add_argument("--patch-size", type=float, nargs=2, default=[60.0, 30.0])
     p.add_argument("--prefix", default="", help="info filename prefix")
     p.add_argument("--max-sweeps", type=int, default=10)
+    p.add_argument("--splits", default="",
+                   help="JSON with {'train': [...], 'val': [...]} scene "
+                        "names (trainval split lists; mini is built in)")
     p.add_argument("--workers", type=int, default=8)
     a = p.parse_args()
     if a.dataset == "semantic-kitti":
@@ -311,7 +314,8 @@ if __name__ == "__main__":
     elif a.dataset == "nuscenes":
         if not a.out_dir:
             raise SystemExit("--out-dir required for nuscenes conversion")
-        create_nuscenes_infos(a.root_path, a.version, a.out_dir)
+        create_nuscenes_infos(a.root_path, a.version, a.out_dir,
+                              splits_json=a.splits)
         for split in ("train", "val"):
             pkl = os.path.join(
                 a.out_dir, f"nuscenes_infos_temporal_{split}.pkl")
