@@ -20,6 +20,8 @@ from apollo_vision_net_tpu.data.indoor import (
 from apollo_vision_net_tpu.data.lyft import fill_trainval_infos
 from apollo_vision_net_tpu.data.waymo import T_FRONT_CAM_TO_REF, convert_frame
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
 
 def _png_bytes(h, w):
     """Minimal valid PNG (8-bit gray, zlib-deflated rows)."""

@@ -1,5 +1,6 @@
 """Data layer: shift protocols, temporal bookkeeping, pipeline geometry."""
 import numpy as np
+import pytest
 
 from apollo_vision_net_tpu.data.infos import quat_to_rot, quat_yaw
 from apollo_vision_net_tpu.data.pipeline import pad_images, scale_images
@@ -14,6 +15,8 @@ from apollo_vision_net_tpu.data.vector_map import (
     order_mask_from_shifts,
     pack_map_gt,
 )
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 def test_quat_roundtrip():

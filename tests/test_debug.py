@@ -7,6 +7,8 @@ import pytest
 
 from apollo_vision_net_tpu.utils import debug
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
 
 def test_probe_identity_and_stats():
     x = jnp.array([1.0, jnp.nan, 3.0, jnp.inf])

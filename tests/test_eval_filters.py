@@ -5,6 +5,8 @@ import pytest
 
 from apollo_vision_net_tpu.evaluation import nuscenes_det as nd
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
 
 def _gt(n, **extra):
     rec = dict(

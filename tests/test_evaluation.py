@@ -2,6 +2,7 @@
 strategy, SURVEY.md §4.6): perfect predictions → perfect metrics, degraded
 predictions → degraded metrics."""
 import numpy as np
+import pytest
 
 from apollo_vision_net_tpu.evaluation.map_eval import (
     average_precision,
@@ -12,6 +13,8 @@ from apollo_vision_net_tpu.evaluation.map_eval import (
 )
 from apollo_vision_net_tpu.evaluation.nuscenes_det import evaluate_detection
 from apollo_vision_net_tpu.evaluation.ssc_metrics import SSCMetrics
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 # ---------- SSC ----------

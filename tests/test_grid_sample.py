@@ -1,7 +1,10 @@
 """grid_sample_2d / rotate_2d parity with torch."""
 import numpy as np
+import pytest
 
 from apollo_vision_net_tpu.ops.grid_sample import grid_sample_2d, rotate_2d
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 def test_grid_sample_matches_torch():

@@ -1,8 +1,11 @@
 """Exact LSA solver vs scipy (the reference's assigner backend)."""
 import numpy as np
+import pytest
 import scipy.optimize
 
 from apollo_vision_net_tpu.ops.hungarian import linear_sum_assignment
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 def total_cost(cost, col4row):

@@ -10,6 +10,9 @@ from apollo_vision_net_tpu.evaluation.kitti2waymo import (
 )
 
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
+
 def test_frame_transform_identity_extrinsic():
     # front cam == vehicle frame: kitti cam (x right, y down, z fwd) maps to
     # waymo (x fwd, y left, z up): (xk, yk, zk) -> (zk, -xk, -yk)
@@ -68,6 +71,7 @@ def test_driver_pairing_parallel_convert_roundtrip(tmp_path):
         dict(filename="val000001", context_name="c1",
              frame_timestamp_micros=11, T_front_cam_to_vehicle=T),
         dict(filename="val000002", context_name="c2",  # no predictions
+
              frame_timestamp_micros=12, T_front_cam_to_vehicle=T),
     ]
     conv = KittiToWaymoConverter(results, workers=4)

@@ -21,6 +21,8 @@ from apollo_vision_net_tpu.data.nusc_map import (
 )
 from apollo_vision_net_tpu.data.vector_map import pack_map_gt
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
 
 # ---------------------------------------------------------------------------
 # geometry2d primitives

@@ -4,12 +4,16 @@ import pytest
 
 from apollo_vision_net_tpu.data import native
 from apollo_vision_net_tpu.data.pipeline import (
+
     IMG_MEAN,
     IMG_STD,
     normalize_images,
     pad_images,
     scale_images,
 )
+
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")

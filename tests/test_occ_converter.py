@@ -6,6 +6,9 @@ import importlib.util
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 _spec = importlib.util.spec_from_file_location(
     "convert_lidar_to_occ",

@@ -5,9 +5,13 @@ import numpy as np
 import pytest
 
 from apollo_vision_net_tpu.data.rasterize import (
+
     rasterize_lines_bev,
     rasterize_lines_pv,
 )
+
+
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
 
 
 def test_bev_horizontal_line_exact_cells():

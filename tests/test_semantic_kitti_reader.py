@@ -11,6 +11,8 @@ import pytest
 from apollo_vision_net_tpu.data import semantic_kitti as sk
 from apollo_vision_net_tpu.data import semantic_kitti_reader as skr
 
+pytestmark = pytest.mark.quick  # numpy/interpret tier, no big jit graphs
+
 
 def _write_sequence(tmp_path, seq="00", n_frames=2):
     """A tiny on-disk sequence in the exact native formats."""
