@@ -132,6 +132,11 @@ class ExperimentConfig:
     optim: OptimConfig = OptimConfig()
     data: DataConfig = DataConfig()
     compute_dtype: str = "float32"  # or "bfloat16"
+    # torch checkpoint to initialize img_backbone (+ FPN neck when present)
+    # from — the reference's pretrained=dict(img=...) + mmcv load_checkpoint
+    # (bev_tiny_det_map_apollo.py:91). Consumed by runtime/train_loop.py via
+    # utils/torch_import.py; '' trains from random init.
+    pretrained_path: str = ""
 
 
 def bev_tiny_det() -> ExperimentConfig:

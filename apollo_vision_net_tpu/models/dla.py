@@ -94,7 +94,11 @@ class Tree(nn.Module):
                 if self.stride > 1 else x
             )
             in_ch = x.shape[-1]
-        if in_ch != self.out_channels:
+        # project exists only when tree1 is a BasicBlock (reference dla.py
+        # Tree.__init__: "If 'self.tree1' is a Tree ... the output of
+        # project is not used" — no params are created there, and matching
+        # that keeps the param tree importable from torch checkpoints)
+        if self.levels == 1 and in_ch != self.out_channels:
             proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                            dtype=self.dtype, name="project_conv")(bottom)
             proj = FrozenBatchNorm(name="project_bn")(proj)

@@ -92,8 +92,11 @@ class VoVNet(nn.Module):
         outs = []
         for stage in range(4):
             if stage > 0:
+                # reference: MaxPool2d(3, stride=2, ceil_mode=True) — windows
+                # start at 0 and the tail window is partial, i.e. pad only
+                # bottom/right (flax max_pool pads with -inf: exact)
                 x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                                padding=[(1, 1), (1, 1)])
+                                padding=[(0, 1), (0, 1)])
             for b in range(cfg["blocks"][stage]):
                 x = OSABlock(
                     conv_ch=cfg["stage_conv_ch"][stage],

@@ -12,6 +12,7 @@ import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from apollo_vision_net_tpu.configs.base import ExperimentConfig
@@ -58,6 +59,23 @@ def train(
     data_iter = iter(data_iter)
     first = next(data_iter)
     state = train_lib.init_state(cfg, jax.random.PRNGKey(seed), first)
+    if getattr(cfg, "pretrained_path", ""):
+        # reference: pretrained=dict(img=...) + mmcv load_checkpoint before
+        # the runner starts (tools/train.py); here the torch state dict is
+        # name-mapped onto the flax backbone/neck subtrees
+        from apollo_vision_net_tpu.utils.torch_import import (
+            apply_pretrained,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(cfg.pretrained_path)
+        new_params = apply_pretrained(
+            dict(state.params), sd, cfg.model.backbone_type,
+            log=lambda *a: log.info(" ".join(str(x) for x in a)))
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, new_params))
+        log.info("loaded pretrained backbone weights from %s",
+                 cfg.pretrained_path)
     ckpt = CheckpointManager(work_dir, best_metric="NDS" if eval_fn else None)
     mlog = MetricsLogger(work_dir)
     start_step = 0

@@ -37,6 +37,10 @@ def main():
                    help="dataset root for relative image paths")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--img-scale", type=float, default=0.5)
+    p.add_argument("--pretrained", default="",
+                   help="torch .pth checkpoint for backbone(+neck) init "
+                        "(reference pretrained=dict(img=...)); overrides "
+                        "cfg.pretrained_path")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
@@ -53,6 +57,10 @@ def main():
 
     cfg_factory = getattr(configs, args.config)
     cfg = cfg_factory()
+    if args.pretrained:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, pretrained_path=args.pretrained)
     work_dir = args.work_dir or f"work_dirs/{cfg.name}"
 
     if args.data == "synthetic":
