@@ -208,7 +208,16 @@ class TemporalSelfAttention(nn.Module):
 
 class MSDeformableAttention3D(nn.Module):
     """Inner deformable sampler of SCA: no output proj, offsets are spread
-    over the pillar's z-anchors (spatial_cross_attention.py:364-376)."""
+    over the pillar's z-anchors (spatial_cross_attention.py:364-376).
+
+    ``query`` may carry a SMALLER batch than ``value`` (Bs | B, replication
+    axis fast — SCA's (Bq, N_cam) fold): offsets/attention are predicted
+    from the shared BEV query ONCE instead of per camera, and the kernel
+    consumes the FACTORED operands (ref per camera, offsets/attn shared) —
+    per-camera sampling locations are never materialized. At base-SCA
+    scale the materialized per-camera (B, Qp, H·L·P·2) f32 pack transpose
+    was ~0.5 GB of layout copies per encoder layer (~75 ms/frame traced).
+    """
 
     embed_dims: int = 256
     num_heads: int = 8
@@ -220,7 +229,7 @@ class MSDeformableAttention3D(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,             # (B, Q, C)
+        query: jnp.ndarray,             # (Bs, Q, C), Bs | B
         value: jnp.ndarray,             # (B, V, C)
         *,
         reference_points: jnp.ndarray,  # (B, Q, D_z, 2) projected pillar pts
@@ -231,60 +240,48 @@ class MSDeformableAttention3D(nn.Module):
     ) -> jnp.ndarray:
         query = query.astype(self.dtype)
         value = value.astype(self.dtype)
-        B, Q, C = query.shape
+        Bs, Q, C = query.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
-        V = value.shape[1]
+        B, V = value.shape[0], value.shape[1]
+        assert B % Bs == 0, (B, Bs)
 
         v = nn.Dense(C, kernel_init=_xavier_uniform(), dtype=self.dtype,
                      name="value_proj")(value)
         v = v.reshape(B, V, H, C // H)
 
+        # RAW-CELL offsets: the Dense output is already in grid cells of
+        # each level (grid_offset_bias init) — the 1/wh normalization is
+        # folded into the kernel-side pack / materialization
         offsets = nn.Dense(
             H * L * P * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda *_: jnp.asarray(grid_offset_bias(H, L, P)),
             dtype=self.dtype,
             name="sampling_offsets",
-        )(query).astype(jnp.float32)  # (B, Q, H·L·P·2) FLAT
+        )(query).astype(jnp.float32)  # (Bs, Q, H·L·P·2) FLAT
         attn = nn.Dense(
             H * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="attention_weights",
-        )(query).reshape(B, Q, H, L * P)
+        )(query).reshape(Bs, Q, H, L * P)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.reshape(B, Q, H, L, P)
+        attn_flat = attn.reshape(Bs, Q, H * L * P)
 
         D_z = reference_points.shape[2]
         assert P % D_z == 0, (P, D_z)
-        # FLAT location math (ref :364-376's 6-D broadcast, restructured):
-        # a 6-D (..., P, 2) value chain makes XLA materialize full-size
-        # 6-D intermediates with conflicting layouts (~50 ms/frame of
-        # copies at the 40k-query base scale). Instead: per-flat-index
-        # 1/normalizer constants fold into one elementwise op, and the
-        # ref broadcast (h, l, pg invariant; z, c indexed) is a tiny
-        # one-hot matmul (B·Q, Dz·2) @ (Dz·2, H·L·P·2) on the MXU. The
-        # 6-D view handed to ms_deform_attn is a free reshape of the
-        # materialized flat buffer.
-        fi = np.arange(H * L * P * 2)
-        c_of = fi % 2
-        p_of = (fi // 2) % P
-        l_of = (fi // (2 * P)) % L
-        z_of = p_of % D_z
-        wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)
-        inv_norm = (1.0 / wh[l_of, c_of]).astype(np.float32)
-        onehot = np.zeros((D_z * 2, H * L * P * 2), np.float32)
-        onehot[z_of * 2 + c_of, fi] = 1.0
-        loc_flat = (
-            reference_points.reshape(B, Q, D_z * 2) @ jnp.asarray(onehot)
-            + offsets * jnp.asarray(inv_norm)[None, None]
-        )
-        locations = loc_flat.reshape(B, Q, H, L, P, 2)
+        # ref[p] = ref_z[p % D_z] (ref :364-376's z-anchor spread): a tiny
+        # (B, Q, P·2) tile — the full (B, Q, H·L·P·2) per-camera location
+        # tensor is never built (see class docstring)
+        ref_flat = jnp.tile(
+            reference_points.astype(jnp.float32).reshape(B, Q, D_z * 2),
+            (1, 1, P // D_z))
 
-        out = ms_deform_attn(v, spatial_shapes, locations, attn,
+        out = ms_deform_attn(v, spatial_shapes, None, None,
                              impl=self.msda_impl, tile_mask=tile_mask,
-                             slab_rows=slab_rows, q_tile=q_tile)
+                             slab_rows=slab_rows, q_tile=q_tile,
+                             factored=(ref_flat, offsets, attn_flat))
         return out  # (B, Q, C) — caller owns masking/projection
 
 
@@ -376,9 +373,10 @@ class SpatialCrossAttention(nn.Module):
             dtype=self.dtype,
             name="deformable_attention",
         )
-        # fold cameras into batch; queries broadcast to every camera (the
-        # reference's rebatching only skips no-hit queries — same math).
-        q_cam = jnp.broadcast_to(query[:, None], (B, N, Q, C)).reshape(B * N, Q, C)
+        # fold cameras into batch; the query is NOT broadcast — offsets and
+        # attention are camera-invariant (the reference computes them from
+        # the shared BEV query too), so the inner module predicts them once
+        # (Bs = B) and the kernel consumes factored operands.
         v_cam = value.reshape(B * N, value.shape[2], C)
         ref = ref_cam.transpose(1, 0, 2, 3, 4).reshape(
             B * N, Q, ref_cam.shape[3], 2
@@ -396,7 +394,7 @@ class SpatialCrossAttention(nn.Module):
             else:
                 slab = tuple(max(8, (h + 4) // 3)
                              for (h, w) in spatial_shapes)
-        out = inner(q_cam, v_cam, reference_points=ref,
+        out = inner(query, v_cam, reference_points=ref,
                     spatial_shapes=spatial_shapes, tile_mask=tile_mask,
                     slab_rows=slab, q_tile=qt)
         out = out.reshape(B, N, Q, C)

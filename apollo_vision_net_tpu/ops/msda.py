@@ -192,6 +192,7 @@ def ms_deform_attn(
     slab_rows: int | None = None,
     q_tile: int = 128,
     window: bool = False,
+    factored: tuple | None = None,
 ) -> jnp.ndarray:
     """Dispatching front-end. impl in {'auto', 'xla', 'pallas'}, each with
     an optional '_fast' suffix (single-bf16-pass MXU sampling; pairs with
@@ -213,10 +214,36 @@ def ms_deform_attn(
     exact fallback, so only callers whose sampling offsets are known to be
     spatially compact (temporal self-attention) should set it; without it,
     oversize grids take the exact XLA patch-gather path.
+
+    factored: optional (ref_flat (B, Q, P·2), off_flat (Bs, Q, H·L·P·2)
+    raw-cell offsets, attn_flat (Bs, Q, H·L·P) softmaxed) replacing
+    sampling_locations/attention_weights (pass those as None) — the
+    Pallas pt2d path packs the factored forms directly without ever
+    materializing per-value-batch locations (SCA: offsets/attention are
+    camera-invariant); other paths materialize first, identical math.
     """
     fast = impl.endswith("_fast")
     impl = impl[:-5] if fast else impl
+    if factored is not None:
+        assert sampling_locations is None and attention_weights is None
+        ref_flat, off_flat, attn_flat = factored
+        B, Q, P2 = ref_flat.shape
+        H = value.shape[2]
+        L = len(spatial_shapes)
+        P = P2 // 2
+
+        def _materialized():
+            from apollo_vision_net_tpu.ops.msda_pallas import (
+                _materialize_factored,
+            )
+
+            loc, attn = _materialize_factored(
+                ref_flat, off_flat, attn_flat, spatial_shapes, H, P)
+            return (loc.reshape(B, Q, H, L, P, 2),
+                    attn.reshape(B, Q, H, L, P))
     if impl == "xla":
+        if factored is not None:
+            sampling_locations, attention_weights = _materialized()
         return ms_deform_attn_xla_patch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
@@ -235,10 +262,17 @@ def ms_deform_attn(
                 # int slab_rows is single-level-only; multi-level slabs
                 # take a per-level tuple (base-scale SCA)
                 slab_rows = None
+            if factored is not None:
+                return msda_pallas.ms_deform_attn_pallas_factored(
+                    value, spatial_shapes, ref_flat, off_flat, attn_flat,
+                    fast, tile_mask, slab_rows, q_tile,
+                )
             return msda_pallas.ms_deform_attn_pallas(
                 value, spatial_shapes, sampling_locations, attention_weights,
                 fast, tile_mask, slab_rows, q_tile,
             )
+        if factored is not None:
+            sampling_locations, attention_weights = _materialized()
         if on_tpu and len(spatial_shapes) == 1 and window:
             # single-level grid too large for whole-value VMEM residency
             # (200x200 BEV TSA): block-window kernel — sampling locations

@@ -578,7 +578,9 @@ def _pack_tile_major_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
     ref_flat (B, Qp, P·2): z-repeated [0,1] reference points, flat (p, c)
     minor. off_flat (Bs, Qp, H·L·P·2): RAW-CELL offsets (the Dense output —
     already in grid cells of each level, no 1/wh normalization). attn_flat
-    (Bs, Qp, H·L·P): softmaxed weights in their ride dtype. Bs ∈ {1, B}.
+    (Bs, Qp, H·L·P): softmaxed weights in their ride dtype. Bs must divide
+    B with the replication axis FAST (value batch index b serves shared
+    index b // (B // Bs) — SCA's (Bq, N_cam) → Bq·N fold).
 
     Returns (pxyk, sk) exactly as ``_pack_tile_major``: pxyk
     (2, B, n_tiles, L·H, P·QT) padded-grid pixel coords, sk
@@ -586,6 +588,9 @@ def _pack_tile_major_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
     B, Qp, P2 = ref_flat.shape
     H, P, L = num_heads, num_points, len(spatial_shapes)
     assert P2 == P * 2, (P2, P)
+    Bs = attn_flat.shape[0]
+    assert attn_flat.shape[-1] == H * L * P, (attn_flat.shape, H, L, P)
+    assert off_flat.shape[0] == Bs and B % Bs == 0, (off_flat.shape, B, Bs)
     n_tiles = Qp // q_tile
 
     def pack(a, nd):  # (Bs, Qp, H·L·P·nd) -> (nd, Bs, T, L·H, P·QT)
@@ -602,9 +607,11 @@ def _pack_tile_major_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
 
     # per-row (r = lvl·H + h) pixel scale wh[l, c]
     wxy = np.array([[w, h] for h, w in spatial_shapes], np.float32)  # (L, 2)
-    scale = np.repeat(wxy, H, axis=0).T.reshape(2, 1, 1, L * H, 1)
-    pxyk = (ref_pack[:, :, :, None, :] * jnp.asarray(scale)
-            + off_pack + 0.5)  # (2, B, T, L·H, P·QT) — broadcasts Bs -> B
+    scale = np.repeat(wxy, H, axis=0).T.reshape(2, 1, 1, 1, L * H, 1)
+    N = B // Bs  # replication factor (camera axis, FAST in the value batch)
+    refp = ref_pack.reshape(2, Bs, N, n_tiles, 1, P * q_tile)
+    pxyk = (refp * jnp.asarray(scale) + off_pack[:, :, None] + 0.5)
+    pxyk = pxyk.reshape(2, B, n_tiles, L * H, P * q_tile)
 
     ak = pack(attn_flat, 1)[0]  # (Bs, T, L·H, P·QT)
     wv = np.repeat(np.array([w for h, w in spatial_shapes], np.float32), H)
@@ -614,7 +621,8 @@ def _pack_tile_major_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
     pxk, pyk = pxyk[0], pxyk[1]
     inside = ((pxk > 0.0) & (pxk < wv + 1.0)
               & (pyk > 0.0) & (pyk < hv + 1.0))
-    sk = ak * inside.astype(ak.dtype)  # broadcasts Bs -> B
+    sk = (ak[:, None] * inside.reshape(Bs, N, *inside.shape[1:]).astype(
+        ak.dtype)).reshape(B, n_tiles, L * H, P * q_tile)
     return pxyk, sk
 
 
@@ -626,14 +634,20 @@ def _materialize_factored(ref_flat, off_flat, attn_flat, spatial_shapes,
     block (the flat layout is (h, l, p, c) minor-last) and the per-index
     1/wh constant matches the caller-side normalization."""
     B, Qp, _ = ref_flat.shape
+    Bs = attn_flat.shape[0]
+    N = B // Bs
     H, P, L = num_heads, num_points, len(spatial_shapes)
     fi = np.arange(H * L * P * 2)
     l_of = (fi // (2 * P)) % L
     wh = np.array([[w, h] for h, w in spatial_shapes], np.float32)
     inv = (1.0 / wh[l_of, fi % 2]).astype(np.float32)
+    off = (off_flat.astype(jnp.float32)
+           * jnp.asarray(inv)[None, None]).reshape(Bs, 1, Qp, -1)
     loc = (jnp.tile(ref_flat.astype(jnp.float32), (1, 1, H * L))
-           + off_flat.astype(jnp.float32) * jnp.asarray(inv)[None, None])
-    attn = jnp.broadcast_to(attn_flat, (B, Qp, H * L * P))
+           .reshape(Bs, N, Qp, -1) + off).reshape(B, Qp, H * L * P * 2)
+    attn = jnp.broadcast_to(
+        attn_flat.reshape(Bs, 1, Qp, -1),
+        (Bs, N, Qp, H * L * P)).reshape(B, Qp, H * L * P)
     return loc, attn
 
 
@@ -883,7 +897,9 @@ def _msda_pallas_fwd_impl(
         # gather breaks the pad/scale → pack-transpose fusion, adding a
         # full extra pass over the flat operands that outweighs the
         # halved pack. Pack stays full-size, fused.
-        pxyk, sk = _pack_tile_major(loc, attn, spatial_shapes, H, P, QT)
+        pxyk, sk = (packed if packed is not None
+                    else _pack_tile_major(loc, attn, spatial_shapes, H, P,
+                                          QT))
         clo, chi = _bounds_cols(
             pxyk[0], spatial_shapes, QT, CB, n_cb, B, H, P)
         if _dbg == "nocb":
@@ -1522,3 +1538,72 @@ def _window_bwd(spatial_shapes, fast, q_tile, residuals, g):
 
 
 ms_deform_attn_pallas_window.defvjp(_window_fwd, _window_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 7, 8))
+def ms_deform_attn_pallas_factored(
+    value,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    ref_flat,
+    off_flat,
+    attn_flat,
+    fast: bool = False,
+    tile_mask=None,
+    slab_rows=None,
+    q_tile: int = 128,
+):
+    """Factored-operand entry: sampling locations are never materialized
+    per value-batch element. ``loc = ref·wh + off`` happens inside the
+    pt2d pack (``_pack_tile_major_factored``) on the Bs-sized offsets and
+    the P·2-wide refs — at base-SCA scale this replaces ~0.5 GB of
+    per-camera layout copies per encoder layer (~75 ms/frame traced).
+
+    ref_flat (B, Q, P·2): per-value-batch [0,1] reference points, flat
+    (p, c) minor with ref[p] = ref_z[p % D_z]. off_flat (Bs, Q, H·L·P·2):
+    RAW-CELL offsets (no 1/wh normalization). attn_flat (Bs, Q, H·L·P):
+    softmaxed. Bs | B, replication axis fast (SCA's (Bq, N_cam) fold).
+    Non-pt2d paths materialize the flat loc/attn first — identical math.
+    """
+    return _msda_pallas_fwd_impl(
+        value, spatial_shapes, None, None,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows, q_tile=q_tile,
+        factored=(ref_flat, off_flat, attn_flat),
+    )
+
+
+def _factored_fwd(value, spatial_shapes, ref_flat, off_flat, attn_flat,
+                  fast, tile_mask, slab_rows, q_tile):
+    out = _msda_pallas_fwd_impl(
+        value, spatial_shapes, None, None,
+        tile_mask=tile_mask, fast=fast, slab_rows=slab_rows, q_tile=q_tile,
+        factored=(ref_flat, off_flat, attn_flat),
+    )
+    # residuals stay FACTORED: 1/6 (offsets/attn) and 1/32 (refs) of the
+    # materialized forms — and all wide-minor, so no narrow-minor padding
+    return out, (value, ref_flat, off_flat, attn_flat)
+
+
+def _factored_bwd(spatial_shapes, fast, slab_rows, q_tile, residuals, g):
+    # Differentiate the numerically-identical XLA composition
+    # materialize → msda; jax.vjp contracts d_off/d_attn over the
+    # replication (camera) axis and d_ref over (head, level) for free.
+    from apollo_vision_net_tpu.ops.msda import ms_deform_attn_xla
+
+    value, ref_flat, off_flat, attn_flat = residuals
+    B, Q, P2 = ref_flat.shape
+    H, L = value.shape[2], len(spatial_shapes)
+    P = P2 // 2
+
+    def f(v, r, o, a):
+        loc, attn = _materialize_factored(r, o, a.astype(jnp.float32),
+                                          spatial_shapes, H, P)
+        return ms_deform_attn_xla(
+            v, spatial_shapes, loc.reshape(B, Q, H, L, P, 2),
+            attn.reshape(B, Q, H, L, P))
+
+    _, vjp = jax.vjp(f, value, ref_flat, off_flat, attn_flat)
+    dv, dr, do, da = vjp(g)
+    return dv, dr, do, da.astype(attn_flat.dtype), None
+
+
+ms_deform_attn_pallas_factored.defvjp(_factored_fwd, _factored_bwd)

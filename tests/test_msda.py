@@ -380,3 +380,140 @@ def test_pallas_pt2d_matches_xla_interpret(monkeypatch):
         np.testing.assert_allclose(got[1, :256], want[1, :256], rtol=1e-5,
                                    atol=1e-5)
         assert np.all(got[1, 256:] == 0)
+
+
+def make_factored_inputs(rng, B=6, Bs=2, H=3, D=8, Q=300, P=4, Dz=2,
+                         spatial_shapes=((14, 10), (7, 5), (4, 3))):
+    """Factored SCA-style operands: per-camera refs (B = Bs·N), shared
+    raw-cell offsets / softmaxed attention (Bs)."""
+    V = sum(h * w for h, w in spatial_shapes)
+    L = len(spatial_shapes)
+    value = rng.standard_normal((B, V, H, D)).astype(np.float32)
+    ref = rng.uniform(-0.1, 1.1, (B, Q, Dz, 2)).astype(np.float32)
+    off = rng.uniform(-3.0, 3.0, (Bs, Q, H * L * P * 2)).astype(np.float32)
+    attn = rng.random((Bs, Q, H * L * P)).astype(np.float32)
+    attn /= attn.reshape(Bs, Q, H, L * P).sum(-1).repeat(L * P, -1).reshape(
+        Bs, Q, H * L * P)
+    ref_flat = np.tile(ref.reshape(B, Q, Dz * 2), (1, 1, P // Dz))
+    return value, spatial_shapes, ref_flat, off, attn
+
+
+def _materialized_want(value, shapes, ref_flat, off, attn):
+    from apollo_vision_net_tpu.ops.msda_pallas import _materialize_factored
+
+    B, Q, P2 = ref_flat.shape
+    H, L, P = value.shape[2], len(shapes), P2 // 2
+    loc, aw = _materialize_factored(
+        jnp.asarray(ref_flat), jnp.asarray(off), jnp.asarray(attn),
+        shapes, H, P)
+    loc = np.asarray(loc).reshape(B, Q, H, L, P, 2)
+    aw = np.asarray(aw).reshape(B, Q, H, L, P)
+    return np.asarray(ms_deform_attn_xla(value, shapes, loc, aw)), loc, aw
+
+
+def test_pallas_factored_pt2d_matches_unfactored(monkeypatch):
+    """Factored pt2d pack == unfactored pack == XLA on the materialized
+    operands — incl. Bs < B replication, tail queries, tile compaction
+    (the round-3 ADVICE medium: the factored+pt2d branch crashed at trace
+    time because the precomputed pack was dropped)."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_fwd_impl
+
+    monkeypatch.setenv("MSDA_ML_KERNEL", "pt2d")
+    rng = np.random.default_rng(17)
+    value, shapes, ref_flat, off, attn = make_factored_inputs(rng)
+    want, loc, aw = _materialized_want(value, shapes, ref_flat, off, attn)
+
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, None, None, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3),
+        factored=(jnp.asarray(ref_flat), jnp.asarray(off),
+                  jnp.asarray(attn))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # unfactored pt2d on the materialized forms agrees too
+    got_u = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, loc, aw, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3)))
+    np.testing.assert_allclose(got_u, want, rtol=1e-4, atol=1e-5)
+
+    # tile skipping + active-tile compaction through the factored pack
+    B = value.shape[0]
+    tile_mask = np.ones((B, 3), bool)
+    tile_mask[0, 1] = False
+    tile_mask[3, 2] = False
+    monkeypatch.setenv("MSDA_PT2D_COMPACT_MIN", "2")
+    monkeypatch.setenv("MSDA_PT2D_CAP", "0.67")
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, None, None, interpret=True, q_tile=128,
+        slab_rows=(6, 4, 3), tile_mask=jnp.asarray(tile_mask),
+        factored=(jnp.asarray(ref_flat), jnp.asarray(off),
+                  jnp.asarray(attn))))
+    assert np.all(got[0, 128:256] == 0)
+    np.testing.assert_allclose(got[0, :128], want[0, :128], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_factored_materialize_paths(monkeypatch):
+    """Factored operands through the NON-pt2d paths (chunk kernel, slab
+    single-level) materialize first — identical results."""
+    from apollo_vision_net_tpu.ops.msda_pallas import _msda_pallas_fwd_impl
+
+    rng = np.random.default_rng(19)
+    value, shapes, ref_flat, off, attn = make_factored_inputs(
+        rng, B=4, Bs=4, Q=150)
+    want, _, _ = _materialized_want(value, shapes, ref_flat, off, attn)
+    monkeypatch.setenv("MSDA_ML_KERNEL", "chunk")
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, None, None, interpret=True, q_tile=64,
+        slab_rows=(6, 4, 3),
+        factored=(jnp.asarray(ref_flat), jnp.asarray(off),
+                  jnp.asarray(attn))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # single-level slab path, Bs < B
+    value, shapes, ref_flat, off, attn = make_factored_inputs(
+        rng, B=6, Bs=3, Q=100, spatial_shapes=((12, 9),))
+    want, _, _ = _materialized_want(value, shapes, ref_flat, off, attn)
+    got = np.asarray(_msda_pallas_fwd_impl(
+        value, shapes, None, None, interpret=True, q_tile=32, slab_rows=8,
+        factored=(jnp.asarray(ref_flat), jnp.asarray(off),
+                  jnp.asarray(attn))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_factored_vjp_matches_xla_grads(monkeypatch):
+    """ms_deform_attn_pallas_factored gradients == jax.grad of the XLA
+    composition (the custom_vjp contracts d_off/d_attn over cameras and
+    d_ref over heads·levels)."""
+    from apollo_vision_net_tpu.ops import msda_pallas as mp
+
+    orig_impl = mp._msda_pallas_fwd_impl
+    monkeypatch.setattr(
+        mp, "_msda_pallas_fwd_impl",
+        lambda *a, **k: orig_impl(*a, **{**k, "interpret": True}))
+
+    rng = np.random.default_rng(23)
+    value, shapes, ref_flat, off, attn = make_factored_inputs(
+        rng, B=4, Bs=2, Q=40, spatial_shapes=((6, 9), (3, 5)))
+    H, L = value.shape[2], len(shapes)
+    P = ref_flat.shape[-1] // 2
+    B, Q = ref_flat.shape[:2]
+
+    def ref_fn(v, r, o, a):
+        loc, aw = mp._materialize_factored(r, o, a, shapes, H, P)
+        return jnp.sum(ms_deform_attn_xla(
+            v, shapes, loc.reshape(B, Q, H, L, P, 2),
+            aw.reshape(B, Q, H, L, P)) ** 2)
+
+    def fact_fn(v, r, o, a):
+        return jnp.sum(mp.ms_deform_attn_pallas_factored(
+            v, shapes, r, o, a, False, None, None, 32) ** 2)
+
+    args = tuple(map(jnp.asarray, (value, ref_flat, off, attn)))
+    want = jax.grad(ref_fn, argnums=(0, 1, 2, 3))(*args)
+    got = jax.grad(fact_fn, argnums=(0, 1, 2, 3))(*args)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)

@@ -159,10 +159,81 @@ def main():
     def ffn(q, w1, w2, eps):
         return jax.nn.relu((q + eps * 0) @ w1) @ w2
 
+    # ---------------- factored SCA operands (the production path) -------
+    # ref per camera (tiny), raw-cell offsets/attn shared across cameras —
+    # what SpatialCrossAttention now hands the kernel (no per-camera
+    # materialized locations)
+    ref_fact = jnp.tile(ref.astype(jnp.float32).reshape(B * N, Q, Dz * 2),
+                        (1, 1, P_sca // Dz))
+    off_fact = jnp.broadcast_to(
+        jnp.asarray(bias.reshape(-1), jnp.float32),
+        (B, Q, H * L * P_sca * 2))
+    attn_fact = jnp.full((B, Q, H * L * P_sca), 1.0 / (L * P_sca),
+                         jnp.float32)
+
+    def sca_fact_op(val, rf, of, af, tm, eps):
+        return ms_deform_attn(val, shapes, None, None,
+                              impl="auto_fast", tile_mask=tm,
+                              slab_rows=sca_slab, q_tile=QT,
+                              factored=(rf, of + eps * 1e-9, af))
+
     n = args.frames
     if "sca" in ops:
         timed(sca_op, (sca_val, sca_loc, sca_attn, tile_mask,
                        jnp.zeros(())), n, "SCA msda (chunked kernel)")
+    if "scafact" in ops:
+        timed(sca_fact_op, (sca_val, ref_fact, off_fact, attn_fact,
+                            tile_mask, jnp.zeros(())), n,
+              "SCA msda FACTORED operands")
+    if "pack" in ops:
+        # pack/glue bisect: the tile-major pack on materialized per-camera
+        # operands vs the factored pack (offsets 1/6, refs 1/32 volume)
+        from apollo_vision_net_tpu.ops.msda_pallas import (
+            _pack_tile_major, _pack_tile_major_factored,
+        )
+
+        loc_flat = sca_loc.reshape(B * N, Q, -1)
+        attn_flat6 = sca_attn.reshape(B * N, Q, -1)
+        QTp = 128
+        Qpp = (Q + QTp - 1) // QTp * QTp
+        lf = jnp.pad(loc_flat, [(0, 0), (0, Qpp - Q), (0, 0)], mode="edge")
+        af6 = jnp.pad(attn_flat6, [(0, 0), (0, Qpp - Q), (0, 0)])
+        rf = jnp.pad(ref_fact, [(0, 0), (0, Qpp - Q), (0, 0)], mode="edge")
+        of = jnp.pad(off_fact, [(0, 0), (0, Qpp - Q), (0, 0)], mode="edge")
+        afs = jnp.pad(attn_fact, [(0, 0), (0, Qpp - Q), (0, 0)])
+
+        def pack_mat(lf, af, eps):
+            pxyk, sk = _pack_tile_major(lf + eps * 1e-9, af, shapes, H,
+                                        P_sca, QTp)
+            return pxyk.sum() + sk.astype(jnp.float32).sum()
+
+        def pack_fact(rf, of, af, eps):
+            pxyk, sk = _pack_tile_major_factored(rf, of + eps * 1e-9, af,
+                                                 shapes, H, P_sca, QTp)
+            return pxyk.sum() + sk.astype(jnp.float32).sum()
+
+        timed(pack_mat, (lf, af6, jnp.zeros(())), n,
+              "pack tile-major MATERIALIZED")
+        timed(pack_fact, (rf, of, afs, jnp.zeros(())), n,
+              "pack tile-major FACTORED")
+    if "glue" in ops:
+        # the old model-side per-camera location build (one-hot matmul +
+        # flat add) that the factored path deletes
+        fi = np.arange(H * L * P_sca * 2)
+        z_of = ((fi // 2) % P_sca) % Dz
+        onehot = np.zeros((Dz * 2, H * L * P_sca * 2), np.float32)
+        onehot[z_of * 2 + (fi % 2), fi] = 1.0
+        inv = 1.0 / np.array(
+            [[w, h] for h, w in shapes], np.float32)[
+                (fi // (2 * P_sca)) % L, fi % 2]
+
+        def loc_build(ref, off, eps):
+            return (ref.reshape(B * N, Q, Dz * 2) @ jnp.asarray(onehot)
+                    + (off + eps * 1e-9) * jnp.asarray(inv)[None, None])
+
+        timed(loc_build, (ref, jnp.broadcast_to(
+            off_fact, (B * N, Q, H * L * P_sca * 2)), jnp.zeros(())), n,
+              "per-cam loc build (one-hot+add)")
     if "scastack" in ops:
         # encoder-shaped repro: 6 SCA calls inside lax.scan over per-layer
         # weights, query carried through — the structure the full
