@@ -91,7 +91,8 @@ def voxelize_points(
     num_classes: int,
     empty_label: int,
 ) -> Optional[np.ndarray]:
-    """Majority-vote semantic voxelization → dense (z·x·y,) labels."""
+    """Majority-vote semantic voxelization → dense (z·y·x,) labels
+    (x minor — the reference's convert_lidar_pcd_to_occ.py:122 layout)."""
     lib = _load()
     if lib is None:
         return None

@@ -65,10 +65,11 @@ def _paint_points(img, lidar2img, pts3d, labels, value=4.0, radius=2):
 
 
 def _boxes_to_occupancy(boxes, labels, m) -> np.ndarray:
-    """(k, 9) GT boxes -> dense (occ_zdim*occ_xdim*occ_ydim,) class grid,
-    voxel index (zi*xdim + xi)*ydim + yi (the lidar voxelizer's layout,
-    tools/convert_lidar_to_occ.py:44). Voxels inside a box get
-    min(label, occupancy_classes - 1); everything else is empty."""
+    """(k, 9) GT boxes -> dense (occ_zdim*occ_ydim*occ_xdim,) class grid,
+    voxel index (zi*ydim + yi)*xdim + xi — the reference's (z, y, x)
+    x-minor layout (convert_lidar_pcd_to_occ.py:122), which is exactly the
+    occ heads' flat (z, bev_row=y, bev_col=x) output order. Voxels inside
+    a box get min(label, occupancy_classes - 1); everything else empty."""
     pc = np.asarray(m.pc_range, np.float32)
     xd, yd, zd = m.occ_xdim, m.occ_ydim, m.occ_zdim
     dense = np.full(zd * xd * yd, m.occupancy_classes, np.int32)
@@ -77,8 +78,8 @@ def _boxes_to_occupancy(boxes, labels, m) -> np.ndarray:
     xs = pc[0] + (np.arange(xd) + 0.5) * (pc[3] - pc[0]) / xd
     ys = pc[1] + (np.arange(yd) + 0.5) * (pc[4] - pc[1]) / yd
     zs = pc[2] + (np.arange(zd) + 0.5) * (pc[5] - pc[2]) / zd
-    zz, xx, yy = np.meshgrid(zs, xs, ys, indexing="ij")
-    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)  # (z, x, y) order
+    zz, yy, xx = np.meshgrid(zs, ys, xs, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)  # (z, y, x) order
     for b, lab in zip(np.asarray(boxes), np.asarray(labels)):
         cx, cy, cz, w, l, h, yaw = b[:7]
         c, s = np.cos(yaw), np.sin(yaw)
@@ -161,8 +162,8 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         if paint_gt:
             # LEARNABLE occ GT: voxelize the (painted) GT boxes into the
             # occ grid — same index convention as the lidar voxelizer
-            # (tools/convert_lidar_to_occ.py: vox = (zi*xdim + xi)*ydim
-            # + yi) — so the occ head must place boxes in 3D from the
+            # (tools/convert_lidar_to_occ.py: vox = (zi*ydim + yi)*xdim
+            # + xi) — so the occ head must place boxes in 3D from the
             # image cues instead of memorizing random voxels
             occ1 = np.stack([
                 _boxes_to_occupancy(
@@ -194,6 +195,10 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
         max_vec = min(d.max_gt_boxes, m.num_map_vec)
         packed = []
         all_vecs = []
+        vec_count = 0  # across the batch: cycle labels so every map class
+        # appears in any set with >= map_num_classes vectors (a uniform
+        # draw left class 'divider' absent from 4-sample overfit sets by
+        # seed-luck -> divider_AP pinned at 0)
         for b in range(B):
             n_vec = int(rng.integers(1, 5))
             vecs, labels = [], []
@@ -202,7 +207,8 @@ def make_batch(cfg: ExperimentConfig, batch_size: int, seed: int = 0,
                                 axis=0).astype(np.float32)
                 pts -= pts.mean(0)
                 vecs.append(pts)
-                labels.append(int(rng.integers(0, m.map_num_classes)))
+                labels.append(vec_count % m.map_num_classes)
+                vec_count += 1
             all_vecs.append(vecs)
             if paint_gt:
                 pts2 = np.concatenate(vecs, axis=0)

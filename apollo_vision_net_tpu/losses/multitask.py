@@ -70,8 +70,8 @@ def det_occ_loss(
         )
     elif occ_loss_type == "CustomFocalLoss":
         if occ_grid_hw is not None:
-            rw = ol.radial_bev_weight(*occ_grid_hw)  # (x, y)
-            # voxel order is (z, x, y)
+            rw = ol.radial_bev_weight(*occ_grid_hw)  # (y, x) BEV rows/cols
+            # voxel order is (z, y, x), x minor — the reference layout
             spatial = jnp.asarray(
                 np.tile(rw.reshape(-1), occ_zdim)
             )

@@ -11,9 +11,10 @@ Parity (reference file:line):
 TPU-first deviations (DEVIATIONS.md): the CNN upsample path uses GroupNorm
 instead of BatchNorm2d (state-free under jit; batch-size independent).
 
-Voxel layout contract: dense occupancy is ordered (z, x, y) flattened —
-matching the reference's ``view(bs, occ_zdim, occ_xdim, occ_ydim)`` of the
-sparse-scattered GT (occupancy_head_apollo.py:459-463).
+Voxel layout contract: dense occupancy is flat (z, y, x) with x MINOR —
+bev rows are world-y (utils/geometry.py ref points), so the head's
+(z, bev_row, bev_col) output order equals the reference GT's
+``vox = x + y*xdim + z*xdim*ydim`` (convert_lidar_pcd_to_occ.py:122).
 """
 from __future__ import annotations
 
@@ -125,7 +126,7 @@ class BEVFormerOccupancyHead(BEVFormerHead):
                     self.embed_dims if self.occ_tsa
                     else self.occ_zdim * self.occ_dims
                 ),
-                upsample_factor=self.occ_xdim // self.bev_h,
+                upsample_factor=self.occ_ydim // self.bev_h,
             )
             if self.occ_tsa:
                 self.occ_tsa_blocks = [
@@ -135,7 +136,7 @@ class BEVFormerOccupancyHead(BEVFormerHead):
                         num_cams=self.num_cams,
                         feedforward_channels=self.feedforward_channels,
                         msda_impl=self.msda_impl,
-                        bev_hw=(self.occ_xdim, self.occ_ydim),
+                        bev_hw=(self.occ_ydim, self.occ_xdim),
                         name=f"occ_tsa_layer{i}",
                     )
                     for i in range(self.occ_tsa_layers)
@@ -159,19 +160,20 @@ class BEVFormerOccupancyHead(BEVFormerHead):
 
     def _occ_from_bev(self, bev_embed: jnp.ndarray, mlvl_feats=None,
                       lidar2img=None, deterministic=True) -> jnp.ndarray:
-        """(B, bev_h*bev_w, C) -> (B, z*x*y, occ_dims), (z, x, y) order."""
+        """(B, bev_h*bev_w, C) -> (B, z*y*x, occ_dims), (z, y, x) order
+        (bev rows = world-y, so upsampled rows = occ y)."""
         B = bev_embed.shape[0]
         if self.occ_head_type == "cnn":
             grid = bev_embed.reshape(B, self.bev_h, self.bev_w, self.embed_dims)
-            up = self.upsample_layer(grid)  # (B, occ_x, occ_y, z*d | C)
+            up = self.upsample_layer(grid)  # (B, occ_y, occ_x, z*d | C)
             if self.occ_tsa:
                 up = self._occ_tsa_pass(up, mlvl_feats, lidar2img,
                                         deterministic)
             # channels (z*d) are (d, z) in the reference's torch layout
-            # (view(bs, occ_dims, occ_zdim, x, y)); we define them as (z, d)
-            up = up.reshape(B, self.occ_xdim, self.occ_ydim,
+            # (view(bs, occ_dims, occ_zdim, y, x)); we define them as (z, d)
+            up = up.reshape(B, self.occ_ydim, self.occ_xdim,
                             self.occ_zdim, self.occ_dims)
-            up = up.transpose(0, 3, 1, 2, 4)  # (B, z, x, y, d)
+            up = up.transpose(0, 3, 1, 2, 4)  # (B, z, y, x, d)
             return up.reshape(B, self.voxel_num, self.occ_dims)
         # MLP lift: occ grid must equal the BEV grid
         assert (self.occ_xdim, self.occ_ydim) == (self.bev_h, self.bev_w)
@@ -242,19 +244,20 @@ class BEVFormerOccupancyHead(BEVFormerHead):
         from apollo_vision_net_tpu.ops.grid_sample import grid_sample_3d
 
         B, S = batch, seq_len
-        zz, xx, yy = self.occ_zdim, self.occ_xdim, self.occ_ydim
+        zz, yy, xx = self.occ_zdim, self.occ_ydim, self.occ_xdim
         d = occ_feat.shape[-1]
-        vol = occ_feat.reshape(B, S, zz, xx, yy, d)
+        vol = occ_feat.reshape(B, S, zz, yy, xx, d)  # flat (z, y, x)
 
         # voxel-center reference positions in [0, 1] (encoder
-        # get_reference_points convention); grid last dim = (x→W=y axis,
-        # y→H=x axis, z→D=z axis) per grid_sample_3d
+        # get_reference_points convention); grid last dim = (x→W minor
+        # axis, y→H middle axis, z→D) per grid_sample_3d, so the vol's
+        # (z, y, x) axes pair with coords (x, y, z) reversed
         ref = jnp.stack(jnp.meshgrid(
             (jnp.arange(zz) + 0.5) / zz,
-            (jnp.arange(xx) + 0.5) / xx,
             (jnp.arange(yy) + 0.5) / yy,
+            (jnp.arange(xx) + 0.5) / xx,
             indexing="ij",
-        ), axis=-1)[..., ::-1]  # (z, x, y, 3) as (y, x, z) coords
+        ), axis=-1)[..., ::-1]  # (z, y, x, 3) as (x, y, z) coords
 
         def mix_weight(name):
             if deterministic:

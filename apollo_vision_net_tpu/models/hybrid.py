@@ -312,11 +312,13 @@ class HybridFormerOccupancyHead(BEVFormerHead):
                 [x, y, tmp[..., 2:4], z, tmp[..., 5:]], -1))
             cls_scores.append(cls)
 
+        # voxel rows are world-y: flat output (z, y, x), the reference
+        # GT layout
         grid = final.reshape(B, Zf, Hh, Ww, Cf)
-        if (Zf, Hh, Ww) != (self.occ_zdim, self.occ_xdim, self.occ_ydim):
+        if (Zf, Hh, Ww) != (self.occ_zdim, self.occ_ydim, self.occ_xdim):
             grid = jax.image.resize(
                 grid,
-                (B, self.occ_zdim, self.occ_xdim, self.occ_ydim, Cf),
+                (B, self.occ_zdim, self.occ_ydim, self.occ_xdim, Cf),
                 method="trilinear",
             )
         occ = self.occ_branches(

@@ -381,12 +381,14 @@ class VoxelFormerOccupancyHead(BEVFormerHead):
             cls_scores.append(cls)
 
         # occupancy: trilinear upsample voxel embeddings to the occ grid
+        # (voxel rows are world-y, so the flat output is (z, y, x) — the
+        # reference GT layout)
         occ_feat = self.occ_proj(voxel_embed)  # (B, Q, occ_dims)
         grid = occ_feat.reshape(B, Z, Hh, Ww, self.occ_dims)
-        if (Z, Hh, Ww) != (self.occ_zdim, self.occ_xdim, self.occ_ydim):
+        if (Z, Hh, Ww) != (self.occ_zdim, self.occ_ydim, self.occ_xdim):
             grid = jax.image.resize(
                 grid,
-                (B, self.occ_zdim, self.occ_xdim, self.occ_ydim,
+                (B, self.occ_zdim, self.occ_ydim, self.occ_xdim,
                  self.occ_dims),
                 method="trilinear",
             )

@@ -174,7 +174,7 @@ def loss_fn(
             group_detr=m.group_detr,
             num_classes=m.num_classes,
             occ_loss_type=m.occ_loss_type,
-            occ_grid_hw=(m.occ_xdim, m.occ_ydim),
+            occ_grid_hw=(m.occ_ydim, m.occ_xdim),
             occ_zdim=m.occ_zdim,
             flow_preds=outs.get("flow_preds"),
             gt_flow=batch.get("gt_flow"),

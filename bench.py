@@ -64,6 +64,57 @@ def config_entry(name: str):
     return fn, example_args
 
 
+def train_entry(name: str, batch_size: int = 1):
+    """(fn, carry0, batch, rng) for a scanned train-step stream: the full
+    jitted value_and_grad + optimizer update of ``tools/train.py``'s step
+    (the reference trains this loop at 8-GPU scale, docs/run.md:12-18 —
+    here steps/sec/chip is the comparable unit)."""
+    from apollo_vision_net_tpu import configs as cfglib
+    from apollo_vision_net_tpu.data.synthetic import make_batch
+    from apollo_vision_net_tpu.parallel import train as train_lib
+    from apollo_vision_net_tpu.parallel.mesh import make_mesh
+
+    cfg = getattr(cfglib, name)()
+    batch = jax.tree.map(
+        jnp.asarray, make_batch(cfg, batch_size=batch_size, seed=0))
+    state = train_lib.init_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(dp=1, sp=1, devices=jax.devices()[:1])
+    import functools
+
+    step = functools.partial(train_lib.train_step, cfg=cfg)
+    return step, state, batch, jax.random.PRNGKey(1)
+
+
+def main_train(config: str, n_steps: int) -> None:
+    step, state, batch, rng = train_entry(config)
+
+    @jax.jit
+    def run_steps(state, batch, rng):
+        def body(carry, i):
+            st = carry
+            # fold the step index into the images so steps can't be CSE'd
+            b = dict(batch, img=batch["img"] + i.astype(batch["img"].dtype)
+                     * 1e-6)
+            st, losses = step(st, b, rng)
+            return st, losses["loss_total"]
+        state, totals = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state, totals.sum()
+
+    state, s = run_steps(state, batch, rng)   # warmup / compile
+    float(s)
+    t0 = time.perf_counter()
+    state, s = run_steps(state, batch, rng)
+    float(s)
+    dt = time.perf_counter() - t0
+    sps = n_steps / dt
+    print(json.dumps({
+        "metric": f"train_steps_per_sec_per_chip[{config}]",
+        "value": round(sps, 3),
+        "unit": "steps/s",
+        "ms_per_step": round(1000.0 / sps, 1),
+    }))
+
+
 def main(config: str | None = None, n_frames: int = N_FRAMES):
     if config is None:
         from __graft_entry__ import entry
@@ -110,9 +161,15 @@ if __name__ == "__main__":
                     help="config factory name (default: flagship via "
                          "__graft_entry__.entry)")
     ap.add_argument("--frames", type=int, default=N_FRAMES)
+    ap.add_argument("--train", action="store_true",
+                    help="bench the jitted TRAIN step (fwd+bwd+optimizer) "
+                         "instead of streaming inference")
     cli = ap.parse_args()
     try:
-        main(cli.config, cli.frames)
+        if cli.train:
+            main_train(cli.config or "bev_tiny_det_map_apollo", cli.frames)
+        else:
+            main(cli.config, cli.frames)
     except Exception:  # pragma: no cover - TPU-environment resilience
         # the axon TPU worker occasionally crashes/restarts mid-session
         # (observed: FAILED_PRECONDITION / UNAVAILABLE); one clean-process

@@ -130,9 +130,11 @@ void voxelize_points(const float* points, int64_t n_points,
     if (lab < 0 || lab >= num_classes) continue;
     if (xi < 0 || xi >= xdim || yi < 0 || yi >= ydim || zi < 0 || zi >= zdim)
       continue;
-    // (z, x, y) voxel order — the framework's dense layout
+    // (z, y, x) voxel order, x minor — the reference's dense layout
+    // (convert_lidar_pcd_to_occ.py:122: vox = x + y*xdim + z*xdim*ydim),
+    // matching the occ heads' (z, bev_row=y, bev_col=x) flat output
     const int64_t v =
-        (static_cast<int64_t>(zi) * xdim + xi) * ydim + yi;
+        (static_cast<int64_t>(zi) * ydim + yi) * xdim + xi;
     if (counts[v * num_classes + lab] < INT16_MAX)
       counts[v * num_classes + lab]++;
   }

@@ -117,7 +117,8 @@ def test_pack_map_gt_shapes():
 
 def test_boxes_to_occupancy_places_box():
     """paint_gt occ GT: voxels inside a GT box carry its class at the
-    lidar voxelizer's (z*xdim + x)*ydim + y index convention."""
+    lidar voxelizer's (z*ydim + y)*xdim + x index convention (the
+    reference's x-minor layout, which the occ heads emit)."""
     import dataclasses
 
     import numpy as np
@@ -139,7 +140,7 @@ def test_boxes_to_occupancy_places_box():
     box = np.array([[cx, cy, cz, vsy * 0.9, vsx * 0.9, vsz * 0.9, 0.0,
                      0, 0]], np.float32)
     dense = _boxes_to_occupancy(box, np.array([3]), m)
-    idx = (zi * xd + xi) * yd + yi
+    idx = (zi * yd + yi) * xd + xi
     assert dense[idx] == 3
     # tiny box -> only the one voxel (plus possible half-voxel neighbours)
     occ_frac = (dense != m.occupancy_classes).mean()

@@ -43,9 +43,10 @@ def test_voxelize_points():
         dims=(4, 2, 2), num_classes=16, empty_label=16,
     )
     assert dense.shape == (2 * 4 * 2,)
-    # voxel (z=0, x=0, y=0) -> index 0: majority label 2
+    # voxel (z=0, y=0, x=0) -> index 0: majority label 2
     assert dense[0] == 2
     # voxel (z=1, x=3, y=1): point (1.5, .5, .5) -> z=1,x=3,y=1
-    idx = (1 * 4 + 3) * 2 + 1
+    # index = (z*ydim + y)*xdim + x — the reference's x-minor layout
+    idx = (1 * 2 + 1) * 4 + 3
     assert dense[idx] == 7
     assert (dense == 16).sum() == 16 - 2

@@ -52,8 +52,8 @@ def test_sequence_union_vs_single_frame():
     assert occ_seq > occ_single
     # the chained frame-1 wall lands at global x=-5 (frame-0 coords)
     xi = int((-5.0 - PC[0]) / VS[0])
-    grid = dense_seq.reshape(DIMS[2], DIMS[0], DIMS[1])
-    assert (grid[2, xi, :] == 4).any()
+    grid = dense_seq.reshape(DIMS[2], DIMS[1], DIMS[0])  # (z, y, x)
+    assert (grid[2, :, xi] == 4).any()
     # and every center-frame voxel survives aggregation unchanged
     keep = dense_single != NC
     np.testing.assert_array_equal(dense_seq[keep], dense_single[keep])
@@ -68,7 +68,7 @@ def test_dynamic_classes_kept_center_only():
         [car0, car1], [np.eye(4), np.eye(4)], center_idx=0,
         dynamic_classes=[5])
     dense = _vox(pts)
-    grid = dense.reshape(DIMS[2], DIMS[0], DIMS[1])
+    grid = dense.reshape(DIMS[2], DIMS[1], DIMS[0])  # (z, y, x)
     assert grid[2, 9, 9] == 5        # (1.5+8)/1 = 9 — center car kept
     assert (grid[:, 12, 12] == NC).all()  # ghost car dropped
 
@@ -80,10 +80,10 @@ def test_voxel_morph_closing_fills_holes():
     wall = np.array([[0.5, y + 0.5, 0.5, 3] for y in ys], np.float32)
     dense = _vox(wall)
     closed = occ_tool.morph_close_dense(dense, DIMS, NC, radius=1)
-    grid0 = dense.reshape(DIMS[2], DIMS[0], DIMS[1])
-    grid1 = closed.reshape(DIMS[2], DIMS[0], DIMS[1])
-    xi, yi = 8, 8  # the (0.5, 0.5) gap cell
-    assert grid0[2, xi, yi] == NC
-    assert grid1[2, xi, yi] == NC - 1       # filled with fallback class
+    grid0 = dense.reshape(DIMS[2], DIMS[1], DIMS[0])  # (z, y, x)
+    grid1 = closed.reshape(DIMS[2], DIMS[1], DIMS[0])
+    yi, xi = 8, 8  # the (0.5, 0.5) gap cell
+    assert grid0[2, yi, xi] == NC
+    assert grid1[2, yi, xi] == NC - 1       # filled with fallback class
     keep = grid0 != NC
     np.testing.assert_array_equal(grid1[keep], grid0[keep])

@@ -41,7 +41,9 @@ def voxelize_numpy(points, pc_range, voxel_size, dims, num_classes,
     xi = ((p[:, 0] - pc[0]) / voxel_size[0]).astype(np.int64)
     yi = ((p[:, 1] - pc[1]) / voxel_size[1]).astype(np.int64)
     zi = ((p[:, 2] - pc[2]) / voxel_size[2]).astype(np.int64)
-    vox = (zi * xdim + xi) * ydim + yi
+    # (z, y, x) flat order, x minor — reference-exact
+    # (convert_lidar_pcd_to_occ.py:122: vox = x + y*xdim + z*xdim*ydim)
+    vox = (zi * ydim + yi) * xdim + xi
     lab = p[:, 3].astype(np.int64)
     counts = np.zeros((zdim * xdim * ydim, num_classes), np.int32)
     np.add.at(counts, (vox, lab), 1)
@@ -131,7 +133,7 @@ def morph_close_dense(dense, dims, num_classes, radius=1, iters=1):
     voxels keep their class, filled voxels get the fallback class
     (num_classes - 1 == 'general object' analog of occupied_class_id)."""
     xdim, ydim, zdim = dims
-    grid = dense.reshape(zdim, xdim, ydim)
+    grid = dense.reshape(zdim, ydim, xdim)
     mask = grid != num_classes
     filled = mask
     for _ in range(max(1, iters)):

@@ -12,23 +12,24 @@ import numpy as np
 
 
 def render_occ(dense: np.ndarray, dims, empty_label: int, out_path: str):
-    """dense: (z*x*y,) labels in (z, x, y) order."""
+    """dense: (z*y*x,) labels in (z, y, x) order (x minor — the
+    reference layout, convert_lidar_pcd_to_occ.py:122)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     xdim, ydim, zdim = dims
-    grid = dense.reshape(zdim, xdim, ydim).astype(np.int32)
+    grid = dense.reshape(zdim, ydim, xdim).astype(np.int32)
     occ = np.where(grid == empty_label, -1, grid)
 
-    # BEV: highest occupied voxel's class per (x, y)
+    # BEV: highest occupied voxel's class per (y, x)
     occupied = occ >= 0
     top_z = np.where(occupied.any(0), occupied[::-1].argmax(0), -1)
-    bev = np.full((xdim, ydim), -1, np.int32)
+    bev = np.full((ydim, xdim), -1, np.int32)
     has = top_z >= 0
     zsel = (zdim - 1 - top_z)[has]
-    xs, ys = np.where(has)
-    bev[xs, ys] = occ[zsel, xs, ys]
+    ys, xs = np.where(has)
+    bev[ys, xs] = occ[zsel, ys, xs]
 
     n_slices = min(zdim, 8)
     fig, axes = plt.subplots(1, 1 + n_slices, figsize=(3 * (1 + n_slices), 3))

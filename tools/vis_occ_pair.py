@@ -26,18 +26,19 @@ import numpy as np
 
 
 def _bev_top_class(dense: np.ndarray, dims, empty_label: int) -> np.ndarray:
-    """(voxel_num,) labels in (z, x, y) order -> (x, y) top-voxel class,
-    -1 where the column is empty (matches tools/vis_occ.py)."""
+    """(voxel_num,) labels in (z, y, x) order (x minor — the reference
+    layout) -> (y, x) top-voxel class, -1 where the column is empty
+    (matches tools/vis_occ.py)."""
     xdim, ydim, zdim = dims
-    grid = dense.reshape(zdim, xdim, ydim).astype(np.int32)
+    grid = dense.reshape(zdim, ydim, xdim).astype(np.int32)
     occ = np.where(grid == empty_label, -1, grid)
     occupied = occ >= 0
     top_z = np.where(occupied.any(0), occupied[::-1].argmax(0), -1)
-    bev = np.full((xdim, ydim), -1, np.int32)
+    bev = np.full((ydim, xdim), -1, np.int32)
     has = top_z >= 0
     zsel = (zdim - 1 - top_z)[has]
-    xs, ys = np.where(has)
-    bev[xs, ys] = occ[zsel, xs, ys]
+    ys, xs = np.where(has)
+    bev[ys, xs] = occ[zsel, ys, xs]
     return bev
 
 
