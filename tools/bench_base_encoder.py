@@ -258,6 +258,33 @@ def main():
 
         timed(sca_stack, (q0, sca_loc, sca_attn, sca_val, tile_mask,
                           jnp.zeros(())), n, "SCA x6 scan-over-layers")
+    if "scafactstack" in ops:
+        # factored-operand scan repro: 6 factored SCA calls under
+        # lax.scan, offsets/attn derived from the carried query (the
+        # production SCA dataflow after the factored rewrite)
+        C = m.embed_dims
+        wq = jnp.asarray(rng.standard_normal((6, 32, C)) * 0.02, jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((6, C, 32)) * 0.02, jnp.bfloat16)
+        q0 = jnp.asarray(rng.standard_normal((B, Q, 32)), jnp.bfloat16)
+
+        def sca_fact_stack(q0, rf, of, af, val, tm, eps):
+            def layer(q, w):
+                wq_l, wo_l = w
+                h = (q @ wq_l).astype(jnp.float32)  # (B, Q, C)
+                doff = h[..., :1].reshape(B, Q, 1) * 1e-5
+                out = ms_deform_attn(
+                    val, shapes, None, None,
+                    impl="auto_fast", tile_mask=tm, slab_rows=sca_slab,
+                    q_tile=QT,
+                    factored=(rf, of + doff + eps * 1e-9, af))
+                out = out.reshape(B, N, Q, C).sum(1)  # camera-fold back
+                return (out @ wo_l).astype(q.dtype) + q, ()
+            q, _ = jax.lax.scan(layer, q0, (wq, wo))
+            return q
+
+        timed(sca_fact_stack, (q0, ref_fact, off_fact, attn_fact, sca_val,
+                               tile_mask, jnp.zeros(())), n,
+              "SCA FACTORED x6 scan-over-layers")
     if "enclayers" in ops:
         # closer repro: TSA (window kernel) + SCA (pt2d) per layer under
         # scan-over-layers — the two Pallas kernels co-resident in one
