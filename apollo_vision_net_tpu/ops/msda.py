@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,6 +229,22 @@ def ms_deform_attn(
     if factored is not None:
         assert sampling_locations is None and attention_weights is None
         ref_flat, off_flat, attn_flat = factored
+        if os.environ.get("MSDA_FACTORED", "1") == "0":
+            # debug/bisect switch: materialize up front and take the
+            # unfactored paths everywhere (the pre-factored graph shape)
+            from apollo_vision_net_tpu.ops.msda_pallas import (
+                _materialize_factored,
+            )
+
+            B_, Q_, P2_ = ref_flat.shape
+            H_ = value.shape[2]
+            L_ = len(spatial_shapes)
+            P_ = P2_ // 2
+            loc_, attn_ = _materialize_factored(
+                ref_flat, off_flat, attn_flat, spatial_shapes, H_, P_)
+            sampling_locations = loc_.reshape(B_, Q_, H_, L_, P_, 2)
+            attention_weights = attn_.reshape(B_, Q_, H_, L_, P_)
+            factored = None
         B, Q, P2 = ref_flat.shape
         H = value.shape[2]
         L = len(spatial_shapes)

@@ -285,6 +285,39 @@ def main():
         timed(sca_fact_stack, (q0, ref_fact, off_fact, attn_fact, sca_val,
                                tile_mask, jnp.zeros(())), n,
               "SCA FACTORED x6 scan-over-layers")
+    if "encfactlayers" in ops:
+        # TSA (window kernel) + FACTORED SCA co-resident per scan layer —
+        # the exact kernel pairing of the production encoder after the
+        # factored rewrite
+        C = m.embed_dims
+        wq = jnp.asarray(rng.standard_normal((6, 32, C)) * 0.02, jnp.bfloat16)
+        wo = jnp.asarray(rng.standard_normal((6, C, 32)) * 0.02, jnp.bfloat16)
+        q0 = jnp.asarray(rng.standard_normal((B, Q, 32)), jnp.bfloat16)
+
+        def enc_fact_layers(q0, tval, tloc, tattn, rf, of, af, val, tm, eps):
+            def layer(q, w):
+                wq_l, wo_l = w
+                h = (q @ wq_l).astype(jnp.float32)
+                tshift = h[:2, :, :1].reshape(2, Q, 1, 1, 1, 1) * 1e-6
+                t_out = ms_deform_attn(
+                    tval, ((bev_h, bev_w),), tloc + tshift + eps * 1e-9,
+                    tattn, impl="auto_fast", slab_rows=t_slab, q_tile=t_qt,
+                    window=True)
+                doff = (h[..., :1].reshape(B, Q, 1) * 1e-5
+                        + t_out[:1, :, :1].reshape(1, Q, 1) * 1e-6)
+                out = ms_deform_attn(
+                    val, shapes, None, None,
+                    impl="auto_fast", tile_mask=tm, slab_rows=sca_slab,
+                    q_tile=QT, factored=(rf, of + doff, af))
+                out = out.reshape(B, N, Q, C).sum(1)
+                return (out @ wo_l).astype(q.dtype) + q, ()
+            q, _ = jax.lax.scan(layer, q0, (wq, wo))
+            return q
+
+        timed(enc_fact_layers, (q0, tsa_val, tsa_loc, tsa_attn, ref_fact,
+                                off_fact, attn_fact, sca_val, tile_mask,
+                                jnp.zeros(())),
+              n, "TSA+SCA-FACTORED x6 scan-over-layers")
     if "enclayers" in ops:
         # closer repro: TSA (window kernel) + SCA (pt2d) per layer under
         # scan-over-layers — the two Pallas kernels co-resident in one

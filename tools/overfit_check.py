@@ -28,6 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin ignores the env var; the config update is what
+    # actually pins the platform (same pattern as tests/conftest.py)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
