@@ -92,6 +92,9 @@ class TemporalSelfAttention(nn.Module):
         spatial_shapes: Shapes,             # ((bev_h, bev_w),)
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        # bisect/debug override: force this module's MSDA implementation
+        # (e.g. APOLLO_TSA_IMPL=xla_fast) without touching the config
+        msda_impl = os.environ.get("APOLLO_TSA_IMPL", self.msda_impl)
         query = query.astype(self.dtype)
         value = value.astype(self.dtype)
         B, Q, C = query.shape
@@ -106,7 +109,7 @@ class TemporalSelfAttention(nn.Module):
         perm = inv_perm = None
         (bh, bw) = spatial_shapes[0]
         if (qt >= 64 and Q == bh * bw
-                and self.msda_impl.split("_")[0] in ("auto", "pallas")):
+                and msda_impl.split("_")[0] in ("auto", "pallas")):
             # large-grid window-kernel path: reorder queries into spatial
             # blocks so each q_tile stays window-compact. The block shape
             # must EXACTLY tile the grid — with a ragged edge (e.g. 16∤200),
@@ -195,7 +198,7 @@ class TemporalSelfAttention(nn.Module):
         # (200x200 base BEV) the clamped block-window kernel is safe — the
         # explicit opt-in keeps wide-sampling callers (SCA) off that path
         out = ms_deform_attn(v, spatial_shapes, locations, attn,
-                             impl=self.msda_impl, slab_rows=slab,
+                             impl=msda_impl, slab_rows=slab,
                              q_tile=qt, window=True)
         out = out.reshape(B, NQ, Q, C).mean(axis=1)
         if inv_perm is not None:
@@ -279,7 +282,9 @@ class MSDeformableAttention3D(nn.Module):
             (1, 1, P // D_z))
 
         out = ms_deform_attn(v, spatial_shapes, None, None,
-                             impl=self.msda_impl, tile_mask=tile_mask,
+                             impl=os.environ.get(
+                                 "APOLLO_SCA_IMPL", self.msda_impl),
+                             tile_mask=tile_mask,
                              slab_rows=slab_rows, q_tile=q_tile,
                              factored=(ref_flat, offsets, attn_flat))
         return out  # (B, Q, C) — caller owns masking/projection

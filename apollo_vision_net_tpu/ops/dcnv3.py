@@ -97,6 +97,11 @@ def modulated_deform_conv(
     bilinear/zeros border semantics bit-consistent with the reference
     (``ops_dcnv3/functions/dcnv3_func.py`` grid_sample, mmdet DCNv2).
     Returns (B, H//stride, W//stride, O)."""
+    import os
+
+    # bisect/debug override (e.g. APOLLO_DCN_IMPL=xla): force the MSDA
+    # implementation backing this op without touching callers
+    impl = os.environ.get("APOLLO_DCN_IMPL", impl)
     B, H, W, C = x.shape
     K = kernel[0] * kernel[1]
     O = weight.shape[-1]

@@ -23,6 +23,10 @@ if "collective_call_terminate_timeout" not in _flags:
                " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 os.environ["XLA_FLAGS"] = _flags
 
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
@@ -41,3 +45,26 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Native @pytest.mark.timeout(N) via SIGALRM (pytest-timeout isn't in
+    this image; without this hook the marker would be a silent no-op)."""
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+    seconds = int(marker.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded its {seconds}s timeout marker")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -298,7 +298,8 @@ def main():
             def layer(q, w):
                 wq_l, wo_l = w
                 h = (q @ wq_l).astype(jnp.float32)
-                tshift = h[:2, :, :1].reshape(2, Q, 1, 1, 1, 1) * 1e-6
+                tshift = jnp.broadcast_to(
+                    h[:1, :, :1], (2, Q, 1)).reshape(2, Q, 1, 1, 1, 1) * 1e-6
                 t_out = ms_deform_attn(
                     tval, ((bev_h, bev_w),), tloc + tshift + eps * 1e-9,
                     tattn, impl="auto_fast", slab_rows=t_slab, q_tile=t_qt,
