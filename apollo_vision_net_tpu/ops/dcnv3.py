@@ -109,22 +109,10 @@ def modulated_deform_conv(
     Q = Ho * Wo
     grid = _kernel_grid(kernel[0], kernel[1], dilation[0], dilation[1])
 
-    if impl == "auto" and x.dtype == jnp.bfloat16:
-        # bf16 trunk: ride the kernel's fast mode — halves the operand so
-        # R101 stage-3 grids (30x50 x 9 taps x 256ch) fit the VMEM gate and
-        # take the Pallas slab kernel instead of the XLA patch fallback
-        impl = "auto_fast"
-
-    # z[b,v,k,:] = x[b,v,:] @ W_k  — (C, K*O) matmul, MXU-friendly
-    z = (x.reshape(B, H * W, C) @ weight.transpose(1, 0, 2).reshape(C, K * O)
-         ).reshape(B, H * W, K, O)
-
     if q_tile is None:
         # larger tiles than the attention defaults: the DCN grids are
         # small (30x50 at R101 stage 3) and 26 blocks dispatch per frame,
         # so the per-program floor dominates — fewer, bigger programs win
-        import os
-
         q_tile = int(os.environ.get("MSDA_DCN_QT", "128"))
     if slab_rows is None:
         # queries are row-major over the output grid: a q_tile-query tile
@@ -143,7 +131,44 @@ def modulated_deform_conv(
         + offset.reshape(B, Q, K, 2)
     )  # (B, Q, K, 2) absolute pixels
     norm = jnp.asarray([W, H], jnp.float32)
-    locs = ((pos.astype(jnp.float32) + 0.5) / norm)[:, :, :, None, None, :]
+    loc01 = (pos.astype(jnp.float32) + 0.5) / norm  # (B, Q, K, 2) in [0,1]
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if impl in ("dense", "dense_fast") or (
+        impl in ("auto", "auto_fast") and on_tpu
+        and os.environ.get("APOLLO_DCN_DENSE", "1") != "0"
+    ):
+        from apollo_vision_net_tpu.ops.dcn_pallas import (
+            dcn_dense, is_dense_profitable, _dcn_xla_ref)
+
+        fast = impl.endswith("_fast") or x.dtype == jnp.bfloat16
+        loc_flat = loc01.reshape(B, Q, K * 2)
+        attn_flat = mask.reshape(B, Q, K).astype(jnp.float32)
+        if on_tpu and is_dense_profitable(x, weight, fast):
+            # dedicated dense-window kernel: samples the RAW C-channel
+            # input (whole padded map VMEM-resident) and fuses the tap
+            # projection — no K·O-wide HBM value, no XLA-patch fallback
+            # on the stride-2 / 512-channel blocks (VERDICT r4 #3)
+            out = dcn_dense(x, loc_flat, attn_flat,
+                            weight.astype(x.dtype), fast, slab_rows)
+            return out.reshape(B, Ho, Wo, O)
+        if impl in ("dense", "dense_fast"):
+            # explicit dense request off-TPU (tests): exact XLA composition
+            return _dcn_xla_ref(
+                x, loc_flat, attn_flat, weight.astype(x.dtype)
+            ).reshape(B, Ho, Wo, O)
+
+    if impl == "auto" and x.dtype == jnp.bfloat16:
+        # bf16 trunk: ride the kernel's fast mode — halves the operand so
+        # R101 stage-3 grids (30x50 x 9 taps x 256ch) fit the VMEM gate and
+        # take the Pallas slab kernel instead of the XLA patch fallback
+        impl = "auto_fast"
+
+    # z[b,v,k,:] = x[b,v,:] @ W_k  — (C, K*O) matmul, MXU-friendly
+    z = (x.reshape(B, H * W, C) @ weight.transpose(1, 0, 2).reshape(C, K * O)
+         ).reshape(B, H * W, K, O)
+
+    locs = loc01[:, :, :, None, None, :]
     attn = mask.reshape(B, Q, K, 1, 1).astype(jnp.float32)
     out = ms_deform_attn(z, ((H, W),), locs, attn, impl=impl,
                          slab_rows=slab_rows, q_tile=q_tile)  # (B, Q, K*O)

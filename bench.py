@@ -1,7 +1,10 @@
 """Benchmark: 6-camera frames/sec/chip, streaming BEVFormer det+map inference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: BASELINE.json north star = 60 six-camera frames/sec/chip.
+Prints ONE JSON line per benched config: {"metric", "value", "unit", ...}.
+Baseline: BASELINE.json north star = 60 six-camera frames/sec/chip for
+**bev_base_det_map** (BEVFormer-base trunk) — so ``vs_baseline`` is only
+emitted on the base-config line; the flagship (tiny) line carries the raw
+number without a baseline ratio it doesn't measure (VERDICT r4 weak #1).
 
 The steady-state loop runs as a lax.scan over frames INSIDE one jit — the
 prev_bev recurrence keeps every step sequentially dependent (no pipelining
@@ -10,7 +13,9 @@ production serving loop enqueues work.
 
 ``--config NAME`` benches any config family's streaming step the same way
 (e.g. ``--config bev_base_occ`` for the 200x200 base-scale path); the
-default (no args) is the flagship det+map closed loop the driver records.
+default (no args) driver mode benches the flagship AND ``bev_base_det_map``,
+each in its own subprocess so a chip fault in one cannot eat the other's
+number.
 """
 from __future__ import annotations
 
@@ -115,6 +120,10 @@ def main_train(config: str, n_steps: int) -> None:
     }))
 
 
+FLAGSHIP = "bev_tiny_det_map_apollo"
+BASE = "bev_base_det_map"
+
+
 def main(config: str | None = None, n_frames: int = N_FRAMES):
     if config is None:
         from __graft_entry__ import entry
@@ -145,14 +154,51 @@ def main(config: str | None = None, n_frames: int = N_FRAMES):
 
     batch = int(img.shape[0])
     fps = batch * n_frames / dt
-    baseline = 60.0
-    print(json.dumps({
-        "metric": "6cam_frames_per_sec_per_chip" + (
-            "" if config is None else f"[{config}]"),
+    name = config or FLAGSHIP
+    line = {
+        "metric": f"6cam_frames_per_sec_per_chip[{name}]",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 4),
-    }))
+    }
+    # BASELINE.json's 60 fps bar names BEVFormer-base det+map — only that
+    # config's line gets a vs_baseline ratio (VERDICT r4 weak #1)
+    if name == BASE:
+        line["vs_baseline"] = round(fps / 60.0, 4)
+    print(json.dumps(line))
+
+
+def main_driver(n_frames: int) -> None:
+    """Driver mode (no args): bench the flagship AND the base north-star
+    config, each in a fresh subprocess (a TPU worker fault benching one
+    config must not eat the other's number). One JSON line per config,
+    base last (it is the line the baseline names)."""
+    import subprocess
+    import sys
+
+    for args, name in (
+        (["--config", FLAGSHIP], FLAGSHIP),
+        (["--config", BASE], BASE),
+    ):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--frames", str(n_frames)] + args
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=120 * 60)
+        emitted = False
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                print(ln, flush=True)
+                emitted = True
+        if not emitted:
+            # honest failure marker: the config did not produce a number
+            line = {
+                "metric": f"6cam_frames_per_sec_per_chip[{name}]",
+                "value": 0.0,
+                "unit": "frames/s",
+                "error": (r.stderr.strip().splitlines() or ["no output"])[-1][:300],
+            }
+            if name == BASE:
+                line["vs_baseline"] = 0.0
+            print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
@@ -167,7 +213,9 @@ if __name__ == "__main__":
     cli = ap.parse_args()
     try:
         if cli.train:
-            main_train(cli.config or "bev_tiny_det_map_apollo", cli.frames)
+            main_train(cli.config or FLAGSHIP, cli.frames)
+        elif cli.config is None:
+            main_driver(cli.frames)
         else:
             main(cli.config, cli.frames)
     except Exception:  # pragma: no cover - TPU-environment resilience
