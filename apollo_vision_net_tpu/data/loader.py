@@ -52,21 +52,36 @@ class PrefetchLoader:
             self.indices[i * self.batch_size:(i + 1) * self.batch_size]
             for i in range(len(self))
         ]
+        if self.num_workers <= 0:
+            # synchronous path (torch DataLoader num_workers=0 semantics):
+            # no producer thread, no prefetch — load in the caller
+            for batch_idx in batches:
+                samples = [self.get_sample(i) for i in batch_idx]
+                yield {k: np.stack([s[k] for s in samples])
+                       for k in samples[0]}
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        err: list = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    samples = list(pool.map(self.get_sample, batch_idx))
-                    q.put({k: np.stack([s[k] for s in samples])
-                           for k in samples[0]})
-            q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        samples = list(pool.map(self.get_sample, batch_idx))
+                        q.put({k: np.stack([s[k] for s in samples])
+                               for k in samples[0]})
+            except BaseException as e:  # surface in the consumer, not a
+                err.append(e)           # silently-dead producer thread
+            finally:
+                q.put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise err[0]
                 break
             yield item

@@ -65,7 +65,7 @@ def test_raw_tables_to_train_to_eval(tmp_path, monkeypatch, capsys):
     _run_cli(train_cli.main, [
         "bev_smoke_det_map", "--data", "nuscenes", "--infos", train_pkl,
         "--data-root", str(root), "--img-scale", "1.0", "--steps", "2",
-        "--batch-size", "1", "--log-interval", "1", "--work-dir", work,
+        "--batch-size", "8", "--log-interval", "1", "--work-dir", work,
         "--num-workers", "0",
     ], monkeypatch)
     assert any("checkpoint" in d or d.isdigit()

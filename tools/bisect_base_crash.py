@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="bev_base_occ")
     ap.add_argument("--stage", default="once",
-                    choices=["once", "scan", "trunk", "backbone"])
+                    choices=["once", "scan", "trunk", "headful", "backbone"])
     ap.add_argument("--frames", type=int, default=2)
     args = ap.parse_args()
 
@@ -128,6 +128,37 @@ def main():
                             has_prev)
         print(f"trunk scan{args.frames}: compiled+ran in "
               f"{time.perf_counter() - t0:.1f}s s={float(s):.4f}", flush=True)
+        return
+
+    if args.stage == "headful":
+        # FULL head (trunk + decode branches) on precomputed feats — the
+        # complement of `trunk` (only_bev) and `backbone`: isolates whether
+        # the decode branches or the backbone co-residency trips the crash
+        @jax.jit
+        def run_head(params, img_feats, can_bus, lidar2img, prev, has_prev):
+            feats = tuple(f for f in img_feats)
+            outs = model.head.apply(
+                {"params": params["head"]}, feats, can_bus=can_bus,
+                lidar2img=lidar2img, prev_bev=prev, has_prev=has_prev,
+                deterministic=True)
+            first = next(x for x in jax.tree.leaves(outs)
+                         if hasattr(x, "dtype"))
+            return first.astype(jnp.float32).sum()
+
+        feats = jax.jit(
+            lambda p, im: model.apply(
+                {"params": p}, im, method=BEVFormer.extract_img_feat)
+        )(params, img)
+        print("feats:", [f.shape for f in feats], flush=True)
+        t0 = time.perf_counter()
+        s = run_head(params, feats, can_bus, lidar2img, prev0, has_prev)
+        print(f"headful: compiled+ran in {time.perf_counter() - t0:.1f}s "
+              f"s={float(s):.4f}", flush=True)
+        t0 = time.perf_counter()
+        s = run_head(params, feats, can_bus, lidar2img, prev0, has_prev)
+        float(s)
+        print(f"headful: 2nd call {time.perf_counter() - t0:.3f}s ok",
+              flush=True)
         return
 
     if args.stage == "backbone":
