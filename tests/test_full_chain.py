@@ -38,7 +38,9 @@ def _run_cli(tool_main, argv, monkeypatch):
 
 
 def test_raw_tables_to_train_to_eval(tmp_path, monkeypatch, capsys):
-    root = _fake_tables(tmp_path, n_samples=4)
+    # 8 samples/scene: the train split must cover one dp8-mesh batch
+    # (drop_last_to=batch_size would otherwise yield zero batches)
+    root = _fake_tables(tmp_path, n_samples=8)
     # map-expansion JSON for the log location the fake tables use
     exp = root / "maps" / "expansion"
     exp.mkdir(parents=True)

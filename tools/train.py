@@ -81,6 +81,12 @@ def main():
         logging.info("nuscenes dataset: %d samples from %s",
                      len(ds), args.infos)
 
+        if len(ds) < args.batch_size:
+            raise SystemExit(
+                f"dataset has {len(ds)} samples < batch size "
+                f"{args.batch_size}: every epoch would be empty "
+                "(drop-last batching)")
+
         def nuscenes_iter():
             epoch = 0
             while True:
