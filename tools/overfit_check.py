@@ -192,11 +192,17 @@ def main():
                      indent=1))
 
     if args.check:
-        assert metrics["mean_ap"] > 0.5, metrics["mean_ap"]
+        if "mean_ap" in metrics:
+            assert metrics["mean_ap"] > 0.5, metrics["mean_ap"]
         if "NuscMap_chamfer/mAP" in metrics:
             assert metrics["NuscMap_chamfer/mAP"] > 0.5, metrics
         if "occ_miou" in metrics:
             assert metrics["occ_miou"] > 0.3, metrics
+            # geometric completion IoU: the metric the r4 x/y-transpose fix
+            # (commit 25bf9d4) was supposed to unblock — 1.48% is the
+            # degenerate memorize-class-statistics level; demand real
+            # placement (VERDICT r3 #6 / r4 next-round #2)
+            assert metrics["occ_iou"] > 0.3, metrics
         print("overfit check PASSED")
 
 
