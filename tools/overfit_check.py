@@ -197,12 +197,13 @@ def main():
         if "NuscMap_chamfer/mAP" in metrics:
             assert metrics["NuscMap_chamfer/mAP"] > 0.5, metrics
         if "occ_miou" in metrics:
-            assert metrics["occ_miou"] > 0.3, metrics
-            # geometric completion IoU: the metric the r4 x/y-transpose fix
-            # (commit 25bf9d4) was supposed to unblock — 1.48% is the
-            # degenerate memorize-class-statistics level; demand real
-            # placement (VERDICT r3 #6 / r4 next-round #2)
-            assert metrics["occ_iou"] > 0.3, metrics
+            # SSCMetrics reports PERCENT (x100). Geometric completion IoU
+            # is the metric the r4 x/y-transpose fix (commit 25bf9d4) was
+            # supposed to unblock — 1.48% is the degenerate
+            # memorize-class-statistics level; demand real placement
+            # (VERDICT r3 #6 / r4 next-round #2: >= 30%)
+            assert metrics["occ_iou"] > 30.0, metrics
+            assert metrics["occ_miou"] > 10.0, metrics
         print("overfit check PASSED")
 
 
