@@ -181,10 +181,25 @@ def main_driver(n_frames: int) -> None:
     ):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--frames", str(n_frames)] + args
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=120 * 60)
+        # the axon tunnel intermittently hangs a fresh process at backend
+        # init (futex-stuck with ~zero CPU, observed ~1 in 3 starts);
+        # 25 min covers a cold base-graph compile, and a hung attempt is
+        # killed and retried in a clean process
+        r = None
+        for _attempt in range(3):
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=25 * 60)
+            except subprocess.TimeoutExpired as e:
+                r = None
+                print(json.dumps({"note": f"bench[{name}] attempt "
+                                  f"{_attempt} timed out; retrying"}),
+                      file=sys.stderr, flush=True)
+                continue
+            if any(ln.startswith("{") for ln in r.stdout.splitlines()):
+                break
         emitted = False
-        for ln in r.stdout.splitlines():
+        for ln in (r.stdout.splitlines() if r else []):
             if ln.startswith("{"):
                 print(ln, flush=True)
                 emitted = True
@@ -194,7 +209,8 @@ def main_driver(n_frames: int) -> None:
                 "metric": f"6cam_frames_per_sec_per_chip[{name}]",
                 "value": 0.0,
                 "unit": "frames/s",
-                "error": (r.stderr.strip().splitlines() or ["no output"])[-1][:300],
+                "error": ((r.stderr.strip().splitlines() if r else [])
+                          or ["no output (hang/timeout)"])[-1][:300],
             }
             if name == BASE:
                 line["vs_baseline"] = 0.0
