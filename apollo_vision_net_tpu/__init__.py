@@ -39,10 +39,14 @@ def _configure_tpu_runtime() -> None:
 
     flag = "--xla_tpu_scoped_vmem_limit_kib"
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if flag not in cur:
+    kib = os.environ.get("APOLLO_SCOPED_VMEM_KIB", "65536")
+    # APOLLO_SCOPED_VMEM_KIB=0 opts out (libtpu default budget): small
+    # graphs (the tiny/flagship configs) never hit the co-residency fault
+    # and measure ~4% faster with XLA's default prefetch freedom —
+    # bench.py's driver mode sets 0 for the flagship line.
+    if flag not in cur and kib != "0":
         os.environ["LIBTPU_INIT_ARGS"] = (
-            cur + " " + flag + "=" + os.environ.get(
-                "APOLLO_SCOPED_VMEM_KIB", "65536")).strip()
+            cur + " " + flag + "=" + kib).strip()
 
 
 _configure_tpu_runtime()
